@@ -1,0 +1,230 @@
+"""Typed configuration dataclasses.
+
+The reference keeps hyperparameters as module-level UPPER_CASE constants at the top of
+each script (reference: Training/compare_dacvsproposal_3.py:33-80). Here every workload
+gets one frozen dataclass; the defaults reproduce the reference values exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+@dataclass(frozen=True)
+class DacConfig:
+    """DAC-class codec backbone (conv encoder / RVQ / conv decoder).
+
+    The reference freezes two pretrained DAC-24kHz instances
+    (reference: Training/compare_dacvsproposal_3.py:343-352). Defaults mirror the
+    published DAC-24kHz topology: encoder_dim 64, strides (2,4,5,8) => 320x
+    downsampling => 75 tokens/sec at 24 kHz, 1024-channel latent, 32-book RVQ with
+    1024 bins and 8-dim factorized codebooks.
+    """
+
+    sample_rate: int = 24000
+    encoder_dim: int = 64
+    encoder_rates: Tuple[int, ...] = (2, 4, 5, 8)
+    decoder_dim: int = 1536
+    decoder_rates: Tuple[int, ...] = (8, 5, 4, 2)
+    latent_dim: int = 1024
+    n_codebooks: int = 32
+    codebook_size: int = 1024
+    codebook_dim: int = 8
+
+    @property
+    def hop(self) -> int:
+        h = 1
+        for r in self.encoder_rates:
+            h *= r
+        return h
+
+    @property
+    def tokens_per_sec(self) -> float:
+        return self.sample_rate / self.hop
+
+    def tiny(self) -> "DacConfig":
+        """A tiny CPU-testable variant preserving the 320x hop (75 tok/s)."""
+        return dataclasses.replace(
+            self, encoder_dim=8, decoder_dim=16, latent_dim=64,
+            n_codebooks=4, codebook_size=32, codebook_dim=4,
+        )
+
+
+@dataclass(frozen=True)
+class PredictorConfig:
+    """Single-block cross-attention predictor.
+
+    Reference: Training/compare_dacvsproposal_3.py:225-242 (CrossPredictor).
+    The residual wiring follows the eval/pre-LN form ``y = y + q; y = y + ffn(y)``
+    (Evaluation/compare_dacvsproposal_3.5_eval.py:346-348); the training script's
+    divergent wiring (Training/compare_dacvsproposal_3.py:241) is intentionally not
+    reproduced — the reference itself evaluates checkpoints with the eval form.
+    """
+
+    dim: int = 1024
+    heads: int = 8
+    mlp_mul: int = 2
+    dropout: float = 0.1
+    max_len: int = 8192  # PosEnc1D cap (reference: compare_dacvsproposal_3.py:213)
+
+
+@dataclass(frozen=True)
+class RVQConfig:
+    """Trainable EMA residual vector quantizer on the prediction residual.
+
+    Reference: Training/compare_dacvsproposal_3.py:244-276 (ResidualVQEMA) and
+    config block :61-65.
+    """
+
+    code_dim: int = 96
+    n_books: int = 10
+    n_embed: int = 128
+    ema_decay: float = 0.99
+    ema_warm_epochs: int = 5
+
+
+@dataclass(frozen=True)
+class CodecConfig:
+    """The AR cross-modal residual codec (AllPredAR).
+
+    Reference: Training/compare_dacvsproposal_3.py:278-340 plus config :33-80.
+    """
+
+    dac: DacConfig = field(default_factory=DacConfig)
+    predictor: PredictorConfig = field(default_factory=PredictorConfig)
+    rvq: RVQConfig = field(default_factory=RVQConfig)
+    ar_chunk_tok: int = 16          # reference :58
+    scale_init: float = 0.08        # reference :295
+    scale_min: float = 5e-3         # reference :322
+    scale_max: float = 0.5
+
+    def with_rvq(self, n_books: int, n_embed: int) -> "CodecConfig":
+        return dataclasses.replace(
+            self, rvq=dataclasses.replace(self.rvq, n_books=n_books, n_embed=n_embed)
+        )
+
+    def kbps(self, tokens_per_sec: float | None = None) -> float:
+        """Bitrate = tokens/sec * n_books * log2(n_embed) / 1000.
+
+        Reference: Training/compare_dacvsproposal_5.py:372-373.
+        """
+        import math
+
+        tps = self.dac.tokens_per_sec if tokens_per_sec is None else tokens_per_sec
+        return tps * self.rvq.n_books * math.log2(self.rvq.n_embed) / 1000.0
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Reconstruction loss weights and mel/STFT settings.
+
+    Reference: Training/compare_dacvsproposal_3.py:67-77.
+    """
+
+    w_wav_l1: float = 0.55
+    w_stft: float = 0.25
+    w_melcos: float = 0.20
+    stft_ffts: Tuple[int, ...] = (256, 512, 1024)
+    stft_hops: Tuple[int, ...] = (64, 128, 256)
+    mel_nfft: int = 512
+    mel_hop: int = 128
+    mel_mels: int = 64
+    eps: float = 1e-7
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training loop hyperparameters.
+
+    Reference: Training/compare_dacvsproposal_3.py:39-56 and :363-461.
+    """
+
+    target_sr: int = 24000
+    seg_sec: float = 1.0
+    batch: int = 6
+    epochs: int = 100
+    lr: float = 2e-4
+    weight_decay: float = 1e-5
+    grad_clip: float = 3.0
+    seed: int = 7
+    val_frac: float = 0.2
+    max_val: int = 300
+    lr_min_frac: float = 0.1        # cosine anneal to 0.1*lr (reference :377)
+    best_after_epoch: int = 6       # best.pth saved only after epoch 6 (reference :444)
+    loss: LossConfig = field(default_factory=LossConfig)
+
+    @property
+    def seg(self) -> int:
+        return int(self.seg_sec * self.target_sr)
+
+
+@dataclass(frozen=True)
+class SweepConfig:
+    """Grid sweep over RVQ shapes.
+
+    Reference: Training/compare_dacvsproposal_5.py:84-88 (books x embed grid).
+    """
+
+    books_grid: Tuple[int, ...] = (1, 2, 3, 4, 6, 8)
+    embed_grid: Tuple[int, ...] = (128, 256, 512)
+
+
+@dataclass(frozen=True)
+class PLCConfig:
+    """Packet-loss concealment workload.
+
+    Reference: PLC/PLC1.py:64-80 (uniform packets) and
+    PLC/PLC1_low_mid_high.py:73-97 (PLC-Challenge burst categories).
+    """
+
+    packet_tok: int = 2
+    packet_loss_prob: float = 0.5
+    epochs: int = 50
+    cat_probs: Tuple[float, float, float] = (0.52, 0.32, 0.16)  # low/medium/high
+    cat_burst_ms: Tuple[Tuple[float, float], ...] = (
+        (20.0, 120.0), (120.0, 320.0), (320.0, 1000.0))
+    cat_n_bursts: Tuple[Tuple[int, int], ...] = ((1, 2), (1, 3), (1, 4))
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation harness constants.
+
+    Reference: Evaluation/dac_vcpwq_proposed6_latency.py:66-123.
+    """
+
+    eval_sr: int = 24000
+    orig_tactile_sr: int = 3000
+    max_align_shift: int = 200
+    pcm_kbps_baseline: float = 48.0       # 3 kHz * 16-bit mono
+    dac_nq_list: Tuple[int, ...] = (1, 2, 3, 4, 8)
+    vc_b_list: Tuple[int, ...] = (8, 12, 16, 20, 24, 48)
+    vc_fs_std_hz: float = 2800.0
+    vc_block_len: int = 512
+    latency_warmup: int = 3
+    latency_repeats: int = 10
+
+    @property
+    def vc_buffer_ms(self) -> float:
+        return 1000.0 * self.vc_block_len / self.vc_fs_std_hz
+
+
+def asdict_jsonable(cfg: Any) -> dict:
+    d = dataclasses.asdict(cfg)
+
+    def conv(x):
+        if isinstance(x, dict):
+            return {k: conv(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [conv(v) for v in x]
+        return x
+
+    return conv(d)
+
+
+def dump_config(cfg: Any, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(asdict_jsonable(cfg), f, indent=2)

@@ -1,0 +1,22 @@
+"""Test environment: force an 8-device virtual CPU topology.
+
+All tests run on CPU so they are hardware-portable; multi-device sharding semantics
+are exercised on a faked 8-device host platform (SURVEY.md §4 item 3). These env vars
+must be set before the first jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
