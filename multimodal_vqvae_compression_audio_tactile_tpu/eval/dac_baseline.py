@@ -1,0 +1,97 @@
+"""Rate-scalable backbone-codec baseline evaluation (the "DAC-24k" rows).
+
+Reference: Evaluation/dac_vcpwq_proposed6_latency.py:540-612 (eval_dac24) — for each
+n_q: per-file scale by max|tactile|, resample to 24 kHz, encode/decode at n_q books,
+resample back, xcorr-align at the original SR, global-peak PSNR + ST-SIM at 24 kHz,
+kbps = tps * n_q * log2(bins)/1000, CR vs the 48 kbps PCM baseline, plus the latency
+measurement per n_q.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import DacConfig, EvalConfig
+from ..data.pairs import Pair
+from ..dsp.resample import resample
+from ..models import dac
+from ..utils.wav_io import load_wav_mono
+from . import metrics as M
+from .latency import buffer_delay_ms, measure_codec_latency
+
+
+def probe_tokens_per_sec(params: dict, cfg: DacConfig) -> float:
+    """Dummy-forward probe (reference: Evaluation/compare_dacvsproposal_5_eval.py:227-231)."""
+    x = jnp.zeros((1, 1, cfg.sample_rate), jnp.float32)
+    return float(dac.encode(params, cfg, x).shape[-1])
+
+
+def eval_backbone_codec(
+    params: dict,
+    cfg: DacConfig,
+    pairs: Sequence[Pair],
+    peak_global: float,
+    ecfg: EvalConfig = EvalConfig(),
+    n_q_list: Sequence[int] | None = None,
+    log=print,
+) -> dict:
+    """Returns {n_q: row} with the reference's JSON row schema."""
+    n_q_list = list(n_q_list or ecfg.dac_nq_list)
+    tps = probe_tokens_per_sec(params, cfg)
+    bits_per_code = math.log2(cfg.codebook_size)
+    buf_ms = buffer_delay_ms(tps)
+
+    out = {}
+    for n_q in n_q_list:
+        log(f"[backbone] n_q={n_q}")
+
+        @partial(jax.jit, static_argnames=())
+        def _codec(x, n_q=n_q):
+            zq, codes, _, _ = dac.encode_quantized(params, cfg, x,
+                                                   n_quantizers=n_q)
+            return dac.decode(params, cfg, zq)
+
+        enc_ms, dec_ms = measure_codec_latency(
+            lambda a, t, n_q=n_q: dac.encode_quantized(params, cfg, t,
+                                                       n_quantizers=n_q)[0],
+            lambda z: dac.decode(params, cfg, z),
+            sr_native=cfg.sample_rate,
+            warmup=ecfg.latency_warmup, repeats=ecfg.latency_repeats)
+
+        st_vals, ps_vals = [], []
+        for _, t_path, _ in pairs:
+            ref, sr_ref = load_wav_mono(t_path)
+            scale = max(float(np.abs(ref).max()), 1e-8)
+            x24 = np.asarray(resample(jnp.asarray(ref / scale), sr_ref,
+                                      cfg.sample_rate))
+            y24 = np.asarray(_codec(jnp.asarray(x24[None])))[0]
+            est = np.asarray(resample(jnp.asarray(y24), cfg.sample_rate,
+                                      sr_ref)) * scale
+
+            psnr, r_a, e_a = M.align_and_psnr_raw(ref, est, peak_global,
+                                                  ecfg.max_align_shift)
+            ps_vals.append(psnr)
+            r24 = np.asarray(resample(jnp.asarray(r_a), sr_ref, ecfg.eval_sr))
+            e24 = np.asarray(resample(jnp.asarray(e_a), sr_ref, ecfg.eval_sr))
+            st_vals.append(M.stsim_batch(r24[None], e24[None])[0])
+
+        st_m, st_ci = M.mean_ci95(st_vals)
+        ps_m, ps_ci = M.mean_ci95(ps_vals)
+        kbps = tps * n_q * bits_per_code / 1000.0
+        out[int(n_q)] = {
+            "stsim_mean": st_m, "stsim_ci95": st_ci,
+            "psnr_mean": ps_m, "psnr_ci95": ps_ci,
+            "kbps": kbps,
+            "compression_ratio": ecfg.pcm_kbps_baseline / kbps if kbps else None,
+            "n": len(ps_vals), "tps": tps, "bins": cfg.codebook_size,
+            "encoding_delay_ms": enc_ms,
+            "decoding_delay_ms": dec_ms,
+            "buffer_delay_ms": buf_ms,
+        }
+    return out

@@ -1,0 +1,55 @@
+"""Latency measurement harness.
+
+Mirrors the reference's protocol (reference:
+Evaluation/dac_vcpwq_proposed6_latency.py:300-332, :489-525): 1-second dummy
+signals, 3 warmup iterations, device fencing, mean of 10 timed repeats, reported in
+milliseconds. CUDA's ``torch.cuda.synchronize()`` fence becomes
+``jax.block_until_ready``; warmup also absorbs XLA compilation. Buffer delay =
+1000/tokens_per_sec ms (13.33 ms at 75 tok/s, reference :546).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Tuple
+
+import jax
+import numpy as np
+
+
+def measure_ms(fn: Callable[[], object], warmup: int = 3, repeats: int = 10
+               ) -> float:
+    """Mean wall-clock ms per call with block_until_ready fencing."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        times.append((time.perf_counter() - t0) * 1000.0)
+    return float(np.mean(times))
+
+
+def measure_codec_latency(
+    encode_fn: Callable[[object, object], object],
+    decode_fn: Callable[[object], object],
+    sr_native: int = 24000,
+    warmup: int = 3,
+    repeats: int = 10,
+) -> Tuple[float, float]:
+    """(encode_ms, decode_ms) for a 1-second dummy audio+tactile pair.
+
+    encode_fn(a, t) -> latents; decode_fn(latents) -> waveform.
+    """
+    import jax.numpy as jnp
+
+    a = jnp.zeros((1, 1, sr_native), jnp.float32)
+    t = jnp.zeros((1, 1, sr_native), jnp.float32)
+    z = jax.block_until_ready(encode_fn(a, t))
+    enc_ms = measure_ms(lambda: encode_fn(a, t), warmup, repeats)
+    dec_ms = measure_ms(lambda: decode_fn(z), warmup, repeats)
+    return enc_ms, dec_ms
+
+
+def buffer_delay_ms(tokens_per_sec: float) -> float:
+    return 1000.0 / tokens_per_sec if tokens_per_sec > 0 else float("nan")

@@ -1,0 +1,120 @@
+"""Proposed-codec sweep evaluation: auto-discover runs, evaluate rate-distortion.
+
+Reference: Evaluation/dac_vcpwq_proposed6_latency.py:617-743 (eval_proposed_runs) —
+glob ``rvqB*_K*`` run dirs, parse (books, embed) from meta.json with filename
+fallback, tolerant checkpoint load, per-run latency, per-file raw-PSNR + ST-SIM with
+the per-file tactile scale, kbps = tps * books * log2(embed)/1000.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import CodecConfig, EvalConfig
+from ..data.pairs import Pair
+from ..dsp.resample import resample
+from ..models import allpred_ar, dac
+from ..train import checkpoint as ckpt
+from ..utils import artifacts
+from ..utils.wav_io import load_wav_mono
+from . import metrics as M
+from .latency import buffer_delay_ms, measure_codec_latency
+
+
+def evaluate_proposed_model(
+    params: allpred_ar.CodecParams,
+    cfg: CodecConfig,
+    pairs: Sequence[Pair],
+    peak_global: float,
+    books_use: Optional[int] = None,
+    ecfg: EvalConfig = EvalConfig(),
+) -> dict:
+    """Per-file raw-PSNR protocol over one trained codec; returns metric row."""
+    books_use = books_use or cfg.rvq.n_books
+    sr24 = cfg.dac.sample_rate
+
+    enc_ms, dec_ms = measure_codec_latency(
+        lambda a, t: allpred_ar.encode_latents(params, cfg, a, t,
+                                               n_books_use=books_use)[0],
+        lambda z: dac.decode(params.tactile_dac, cfg.dac, z),
+        sr_native=sr24, warmup=ecfg.latency_warmup, repeats=ecfg.latency_repeats)
+
+    st_vals, ps_vals = [], []
+    for a_path, t_path, _ in pairs:
+        a_raw, sr_a = load_wav_mono(a_path)
+        t_raw, sr_t = load_wav_mono(t_path)
+        scale = max(float(np.abs(t_raw).max()), 1e-8)
+        a24 = np.asarray(resample(jnp.asarray(a_raw / scale), sr_a, sr24))
+        t24 = np.asarray(resample(jnp.asarray(t_raw / scale), sr_t, sr24))
+        # the predictor consumes equal-length latent streams: crop to common length
+        L = min(a24.shape[-1], t24.shape[-1])
+        y24 = np.asarray(allpred_ar.forward_eval(
+            params, cfg, jnp.asarray(a24[None, :, :L]),
+            jnp.asarray(t24[None, :, :L]), n_books_use=books_use))[0]
+        est = np.asarray(resample(jnp.asarray(y24 * scale), sr24, sr_t))
+
+        psnr, r_a, e_a = M.align_and_psnr_raw(t_raw, est, peak_global,
+                                              ecfg.max_align_shift)
+        ps_vals.append(psnr)
+        r24 = np.asarray(resample(jnp.asarray(r_a), sr_t, ecfg.eval_sr))
+        e24 = np.asarray(resample(jnp.asarray(e_a), sr_t, ecfg.eval_sr))
+        st_vals.append(M.stsim_batch(r24[None], e24[None])[0])
+
+    st_m, st_ci = M.mean_ci95(st_vals)
+    ps_m, ps_ci = M.mean_ci95(ps_vals)
+    tps = cfg.dac.tokens_per_sec
+    bits = math.log2(cfg.rvq.n_embed)
+    kbps = tps * books_use * bits / 1000.0
+    return {
+        "books": books_use, "embed": cfg.rvq.n_embed,
+        "bits_per_code": bits, "tps": tps, "kbps": kbps,
+        "compression_ratio": ecfg.pcm_kbps_baseline / kbps if kbps else None,
+        "n": len(ps_vals),
+        "stsim_mean": st_m, "stsim_ci95": st_ci,
+        "psnr_mean": ps_m, "psnr_ci95": ps_ci,
+        "encoding_delay_ms": enc_ms,
+        "decoding_delay_ms": dec_ms,
+        "buffer_delay_ms": buffer_delay_ms(tps),
+    }
+
+
+def eval_proposed_runs(
+    sweep_root: str,
+    base_cfg: CodecConfig,
+    backbones: dict,
+    pairs: Sequence[Pair],
+    peak_global: float,
+    ecfg: EvalConfig = EvalConfig(),
+    checkpoint_name: str = "best.msgpack",
+    log: Callable = print,
+) -> list[dict]:
+    """Discover ``rvqB*_K*`` runs under sweep_root and evaluate each
+    (reference: Evaluation/dac_vcpwq_proposed6_latency.py:617-743)."""
+    runs = artifacts.discover_runs(sweep_root)
+    if not runs:
+        raise RuntimeError(f"No runs found under {sweep_root} (expected rvqB*_K*/)")
+
+    results = []
+    for run in runs:
+        parsed = artifacts.parse_run_dir(run)
+        ckpt_path = os.path.join(run, checkpoint_name)
+        if parsed is None or not os.path.isfile(ckpt_path):
+            log(f"[skip] {run}")
+            continue
+        books, embed = parsed
+        cfg = base_cfg.with_rvq(books, embed)
+        template = allpred_ar.head_init(
+            __import__("jax").random.key(0), cfg)
+        head, _, _ = ckpt.load_checkpoint_tolerant(ckpt_path, template)
+        params = allpred_ar.CodecParams(backbones["audio"], backbones["tactile"],
+                                        head)
+        log(f"[proposed] rvqB{books}_K{embed}")
+        row = evaluate_proposed_model(params, cfg, pairs, peak_global,
+                                      books_use=books, ecfg=ecfg)
+        results.append({"run": os.path.basename(run), "path": run, **row})
+    return results

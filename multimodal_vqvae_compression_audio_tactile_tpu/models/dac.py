@@ -1,0 +1,276 @@
+"""DAC-class neural codec backbone in JAX: conv encoder, factorized RVQ, conv decoder.
+
+The reference treats two frozen pretrained DAC-24kHz models as black boxes providing
+``A_ENC(x)->z``, ``A_QUANT(z)->(q,...)``, ``T_ENC(x)->z``, ``T_DEC(z)->wav``
+(reference: Training/compare_dacvsproposal_3.py:343-352). The pip package's weights
+cannot be shipped; this module implements a backbone of the same family from first
+principles so the framework is self-contained:
+
+- Encoder: input conv -> per-rate blocks of 3 residual units (dilations 1/3/9,
+  Snake activations) + strided conv doubling channels -> latent projection.
+  Strides (2,4,5,8) => 320x downsampling => 75 tokens/sec at 24 kHz, matching the
+  probed reference constants (C=1024, tps=75,
+  Evaluation/compare_dacvsproposal_3.5_eval.py:272-275).
+- Quantizer: residual VQ with per-book factorized (8-dim) L2-normalized codebooks,
+  rate-scalable via ``n_quantizers`` like ``dac.encode(x, n_quantizers)``
+  (Evaluation/dac_vcpwq_proposed6_latency.py:569).
+- Decoder: mirrored transposed-conv stack with Snake activations and tanh output.
+
+Everything is channels-first [B, C, T]; convs are ``lax.conv_general_dilated``
+(NCH) which XLA maps onto the MXU. Params are an ordinary pytree; ``dtype``
+selects the compute precision (bf16 on TPU; params stay fp32).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import DacConfig
+
+
+# ---------------------------------------------------------------- conv helpers
+
+def _conv_init(key: jax.Array, c_in: int, c_out: int, k: int) -> dict:
+    bound = 1.0 / math.sqrt(c_in * k)
+    kw, kb = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(kw, (c_out, c_in, k), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(kb, (c_out,), jnp.float32, -bound, bound),
+    }
+
+
+def conv1d(p: dict, x: jax.Array, stride: int = 1, dilation: int = 1,
+           padding: str | int = "SAME") -> jax.Array:
+    w = p["w"].astype(x.dtype)
+    if isinstance(padding, int):
+        pad = [(padding, padding)]
+    else:
+        pad = padding
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=pad,
+        rhs_dilation=(dilation,), dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return y + p["b"].astype(x.dtype)[None, :, None]
+
+
+def conv1d_transpose(p: dict, x: jax.Array, stride: int) -> jax.Array:
+    """Transposed conv with output length exactly T * stride."""
+    w = p["w"].astype(x.dtype)  # [C_out, C_in, k]
+    y = jax.lax.conv_transpose(
+        x, jnp.transpose(w, (2, 1, 0)),  # [k, C_in, C_out] for HIO
+        strides=(stride,), padding="SAME",
+        dimension_numbers=("NCH", "HIO", "NCH"),
+    )
+    return y + p["b"].astype(x.dtype)[None, :, None]
+
+
+def _snake_init(c: int) -> dict:
+    return {"alpha": jnp.ones((c,), jnp.float32)}
+
+
+def snake(p: dict, x: jax.Array) -> jax.Array:
+    """Snake activation x + sin^2(a*x)/a (periodic inductive bias for audio)."""
+    a = p["alpha"].astype(jnp.float32)[None, :, None]
+    xf = x.astype(jnp.float32)
+    y = xf + jnp.sin(a * xf) ** 2 / (a + 1e-9)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------- residual unit
+
+_DILATIONS = (1, 3, 9)  # per-block residual unit dilations (static, not params)
+
+
+def _resunit_init(key: jax.Array, dim: int) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "snake1": _snake_init(dim),
+        "conv1": _conv_init(k1, dim, dim, 7),
+        "snake2": _snake_init(dim),
+        "conv2": _conv_init(k2, dim, dim, 1),
+    }
+
+
+def _resunit_apply(p: dict, x: jax.Array, dilation: int) -> jax.Array:
+    y = snake(p["snake1"], x)
+    y = conv1d(p["conv1"], y, dilation=dilation, padding=3 * dilation)
+    y = snake(p["snake2"], y)
+    y = conv1d(p["conv2"], y)
+    return x + y
+
+
+# ---------------------------------------------------------------- encoder
+
+def _encoder_init(key: jax.Array, cfg: DacConfig) -> dict:
+    keys = jax.random.split(key, 2 + 4 * len(cfg.encoder_rates))
+    d = cfg.encoder_dim
+    params = {"in_conv": _conv_init(keys[0], 1, d, 7), "blocks": []}
+    ki = 1
+    for r in cfg.encoder_rates:
+        block = {
+            "units": [_resunit_init(keys[ki + j], d) for j in range(3)],
+            "snake": _snake_init(d),
+            "down": _conv_init(keys[ki + 3], d, 2 * d, 2 * r),
+        }
+        ki += 4
+        params["blocks"].append(block)
+        d *= 2
+    params["out_snake"] = _snake_init(d)
+    params["out_conv"] = _conv_init(keys[ki], d, cfg.latent_dim, 3)
+    return params
+
+
+def _encoder_apply(p: dict, cfg: DacConfig, x: jax.Array) -> jax.Array:
+    y = conv1d(p["in_conv"], x, padding=3)
+    for block, r in zip(p["blocks"], cfg.encoder_rates):
+        for unit, dil in zip(block["units"], _DILATIONS):
+            y = _resunit_apply(unit, y, dil)
+        y = snake(block["snake"], y)
+        # kernel 2r, stride r, total padding r (split asymmetrically for odd r)
+        # => output length exactly T / r
+        y = conv1d(block["down"], y, stride=r, padding=[(r // 2, (r + 1) // 2)])
+    y = snake(p["out_snake"], y)
+    return conv1d(p["out_conv"], y, padding=1)
+
+
+# ---------------------------------------------------------------- decoder
+
+def _decoder_init(key: jax.Array, cfg: DacConfig) -> dict:
+    keys = jax.random.split(key, 2 + 5 * len(cfg.decoder_rates))
+    d = cfg.decoder_dim
+    params = {"in_conv": _conv_init(keys[0], cfg.latent_dim, d, 7), "blocks": []}
+    ki = 1
+    for r in cfg.decoder_rates:
+        block = {
+            "snake": _snake_init(d),
+            "up": _conv_init(keys[ki], d, d // 2, 2 * r),  # transpose: d -> d//2
+            "units": [_resunit_init(keys[ki + 1 + j], d // 2) for j in range(3)],
+        }
+        ki += 4
+        params["blocks"].append(block)
+        d //= 2
+    params["out_snake"] = _snake_init(d)
+    params["out_conv"] = _conv_init(keys[ki], d, 1, 7)
+    return params
+
+
+def _decoder_apply(p: dict, cfg: DacConfig, z: jax.Array) -> jax.Array:
+    y = conv1d(p["in_conv"], z, padding=3)
+    for block, r in zip(p["blocks"], cfg.decoder_rates):
+        y = snake(block["snake"], y)
+        y = conv1d_transpose(block["up"], y, stride=r)
+        for unit, dil in zip(block["units"], _DILATIONS):
+            y = _resunit_apply(unit, y, dil)
+    y = snake(p["out_snake"], y)
+    y = conv1d(p["out_conv"], y, padding=3)
+    return jnp.tanh(y)
+
+
+# ---------------------------------------------------------------- quantizer
+
+def _quantizer_init(key: jax.Array, cfg: DacConfig) -> dict:
+    keys = jax.random.split(key, 3)
+    n, K, cd, C = cfg.n_codebooks, cfg.codebook_size, cfg.codebook_dim, cfg.latent_dim
+    bound_in = 1.0 / math.sqrt(C)
+    bound_out = 1.0 / math.sqrt(cd)
+    return {
+        # per-book factorized projections (1x1 convs as matrices)
+        "in_proj": jax.random.uniform(keys[0], (n, C, cd), jnp.float32,
+                                      -bound_in, bound_in),
+        "out_proj": jax.random.uniform(keys[1], (n, cd, C), jnp.float32,
+                                       -bound_out, bound_out),
+        "codebooks": jax.random.normal(keys[2], (n, K, cd), jnp.float32),
+    }
+
+
+def _l2n(x: jax.Array, axis: int = -1, eps: float = 1e-8) -> jax.Array:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+@partial(jax.jit, static_argnames=("n_quantizers",))
+def quantize(params: dict, z: jax.Array, n_quantizers: Optional[int] = None
+             ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Residual VQ over factorized codebooks.
+
+    z: [B, C, T] -> (z_q [B, C, T] with straight-through, codes [B, T, n_use],
+    commitment_loss, codebook_loss). Mirrors ``dac.quantizer(z)`` /
+    ``dac.encode(x, n_quantizers)`` rate scalability.
+    """
+    q = params["quantizer"] if "quantizer" in params else params
+    n_books = q["codebooks"].shape[0]
+    use = n_books if n_quantizers is None else min(n_quantizers, n_books)
+
+    B, C, T = z.shape
+    x = jnp.transpose(z, (0, 2, 1)).reshape(B * T, C).astype(jnp.float32)
+
+    def body(carry, book):
+        residual, zq = carry
+        in_p, out_p, cb = book
+        e = residual @ in_p                               # [N, cd]
+        en, cn = _l2n(e), _l2n(cb)
+        scores = jnp.dot(en, cn.T, precision=jax.lax.Precision.HIGHEST)
+        idx = jnp.argmax(scores, axis=1)
+        q_cd = cb[idx]                                    # [N, cd]
+        # losses in the factorized space (stop-grad pairings)
+        commit = jnp.mean((e - jax.lax.stop_gradient(q_cd)) ** 2)
+        codebk = jnp.mean((jax.lax.stop_gradient(e) - q_cd) ** 2)
+        # straight-through in the factorized space, then project out
+        q_st = e + jax.lax.stop_gradient(q_cd - e)
+        z_b = q_st @ out_p                                # [N, C]
+        return (residual - jax.lax.stop_gradient(z_b), zq + z_b), (idx, commit, codebk)
+
+    books = (q["in_proj"][:use], q["out_proj"][:use], q["codebooks"][:use])
+    (_, zq_flat), (idxs, commits, codebks) = jax.lax.scan(
+        body, (x, jnp.zeros_like(x)), books)
+
+    zq = jnp.transpose(zq_flat.reshape(B, T, C), (0, 2, 1)).astype(z.dtype)
+    codes = jnp.transpose(idxs, (1, 0)).reshape(B, T, use).astype(jnp.int32)
+    return zq, codes, jnp.sum(commits), jnp.sum(codebks)
+
+
+@jax.jit
+def dequantize(params: dict, codes: jax.Array) -> jax.Array:
+    """codes [B, T, n_use] -> z_q [B, C, T] (decoder side of the bitstream)."""
+    q = params["quantizer"] if "quantizer" in params else params
+    n_use = codes.shape[-1]
+    cb = q["codebooks"][:n_use]                           # [n, K, cd]
+    out_p = q["out_proj"][:n_use]                         # [n, cd, C]
+    q_cd = jnp.take_along_axis(
+        cb[None, None], codes[..., None, None], axis=3)[..., 0, :]  # [B,T,n,cd]
+    z = jnp.einsum("btnd,ndc->btc", q_cd, out_p)
+    return jnp.transpose(z, (0, 2, 1))
+
+
+# ---------------------------------------------------------------- full model
+
+def dac_init(key: jax.Array, cfg: DacConfig) -> dict:
+    k_enc, k_dec, k_q = jax.random.split(key, 3)
+    return {
+        "encoder": _encoder_init(k_enc, cfg),
+        "decoder": _decoder_init(k_dec, cfg),
+        "quantizer": _quantizer_init(k_q, cfg),
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def encode(params: dict, cfg: DacConfig, x: jax.Array) -> jax.Array:
+    """x [B, 1, T] -> continuous latent z [B, C, T/hop] (= reference A_ENC/T_ENC)."""
+    return _encoder_apply(params["encoder"], cfg, x)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def decode(params: dict, cfg: DacConfig, z: jax.Array) -> jax.Array:
+    """z [B, C, T] -> waveform [B, 1, T*hop] (= reference T_DEC)."""
+    return _decoder_apply(params["decoder"], cfg, z)
+
+
+def encode_quantized(params: dict, cfg: DacConfig, x: jax.Array,
+                     n_quantizers: Optional[int] = None):
+    """= reference ``dac.encode(x, n_quantizers)``: (z_q, codes, commit, codebook)."""
+    z = encode(params, cfg, x)
+    return quantize(params["quantizer"], z, n_quantizers=n_quantizers)

@@ -1,0 +1,157 @@
+"""Residual vector quantization with EMA codebook learning (pure JAX path).
+
+Re-designs the reference's ``ResidualVQEMA``
+(reference: Training/compare_dacvsproposal_3.py:244-276; rate-scalable eval variant
+Evaluation/compare_dacvsproposal_3.5_eval.py:351-372) as stateless functions over a
+single stacked codebook tensor ``books[n_books, K, D]`` — a pytree leaf that lives in
+the train state, replicates under data parallelism, and feeds both this scan-based
+autodiff path and the fused Pallas serving kernel (ops/vq_pallas.py).
+
+Reference semantics preserved exactly:
+
+- nearest code via the fused form ``argmax(x @ e^T - 0.5*||e||^2)`` (L2-equivalent,
+  one MXU matmul per book) — reference ``_nearest_l2`` (:250-252);
+- straight-through estimator accumulated per book as
+  ``q_sum += stopgrad(q - r) + r`` (:259-262). NOTE: because every per-book residual
+  carries an identity gradient to the input, the reference's accumulated STE gradient
+  is ``n_books_use * I`` (not ``I``); we reproduce that faithfully since it shaped the
+  trained checkpoints, and expose ``ste_scale="unit"`` for the corrected variant;
+- EMA update (:264-276): bincount + mean per code, ``emb = d*emb + (1-d)*mean`` only
+  for codes that were hit. NOTE the reference assigns EVERY book's EMA target from the
+  ORIGINAL tokens X, not from that book's running residual (``X`` is never updated in
+  the loop). ``ema_mode="reference"`` reproduces this; ``ema_mode="residual"`` is the
+  textbook residual-EMA variant.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def rvq_init(key: jax.Array, n_books: int, n_embed: int, dim: int) -> jax.Array:
+    """Codebooks ~ N(0, 1)/sqrt(dim), shape [n_books, n_embed, dim]
+    (reference: Training/compare_dacvsproposal_3.py:247-248)."""
+    return jax.random.normal(key, (n_books, n_embed, dim), jnp.float32) / jnp.sqrt(dim)
+
+
+def _nearest(x: jax.Array, emb: jax.Array) -> jax.Array:
+    """argmax(x @ e^T - 0.5*||e||^2): indices [N] for x [N, D], emb [K, D].
+
+    The score matmul runs at HIGHEST precision: code indices are the transmitted
+    bitstream, and TPU's default bf16 matmul precision would make them
+    nondeterministic across execution paths near score ties.
+    """
+    scores = jnp.dot(x, emb.T, precision=jax.lax.Precision.HIGHEST)
+    scores = scores - 0.5 * jnp.sum(emb * emb, axis=1)[None, :]
+    return jnp.argmax(scores, axis=1)
+
+
+def _flatten_bdt(z: jax.Array) -> Tuple[jax.Array, Tuple[int, int, int]]:
+    B, D, T = z.shape
+    return jnp.transpose(z, (0, 2, 1)).reshape(B * T, D), (B, D, T)
+
+
+def _unflatten_bdt(x: jax.Array, shape: Tuple[int, int, int]) -> jax.Array:
+    B, D, T = shape
+    return jnp.transpose(x.reshape(B, T, D), (0, 2, 1))
+
+
+@partial(jax.jit, static_argnames=("n_books_use", "ste_scale"))
+def rvq_quantize(
+    books: jax.Array,
+    z: jax.Array,
+    n_books_use: Optional[int] = None,
+    ste_scale: str = "reference",
+) -> Tuple[jax.Array, jax.Array]:
+    """Quantize z[B, D, T] -> (q_sum[B, D, T] with STE, indices[B, T, n_books_use]).
+
+    ``n_books_use`` gives the rate-scalable eval path
+    (reference: Evaluation/compare_dacvsproposal_3.5_eval.py:355-372).
+    """
+    n_books = books.shape[0]
+    use = n_books if n_books_use is None else min(n_books_use, n_books)
+    x, shape = _flatten_bdt(z)
+    xs = jax.lax.stop_gradient(x.astype(jnp.float32))
+
+    def body(residual, emb):
+        idx = _nearest(residual, emb)
+        q = emb[idx]
+        return residual - q, (q, idx)
+
+    _, (qs, idxs) = jax.lax.scan(body, xs, books[:use].astype(jnp.float32))
+    q_sum = jnp.sum(qs, axis=0)
+
+    # Straight-through: value = q_sum, grad = (use or 1) * I toward the input.
+    mult = float(use) if ste_scale == "reference" else 1.0
+    out = jax.lax.stop_gradient(q_sum.astype(z.dtype)) + mult * (
+        x - jax.lax.stop_gradient(x))
+    indices = jnp.transpose(idxs, (1, 0)).reshape(shape[0], shape[2], use)
+    return _unflatten_bdt(out, shape), indices.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_books_use",))
+def rvq_encode(
+    books: jax.Array, z: jax.Array, n_books_use: Optional[int] = None
+) -> jax.Array:
+    """Code indices only: [B, T, n_books_use] int32 (the transmitted bitstream)."""
+    _, idx = rvq_quantize(books, z, n_books_use=n_books_use)
+    return idx
+
+
+@jax.jit
+def rvq_decode(books: jax.Array, indices: jax.Array) -> jax.Array:
+    """Reconstruct q_sum[B, D, T] from indices [B, T, n_use]."""
+    n_use = indices.shape[-1]
+    # gather per book then sum: q[b,t] = sum_i books[i, idx[b,t,i]]
+    per_book = jnp.take_along_axis(
+        books[:n_use][None, None],                      # [1, 1, n_use, K, D]
+        indices[..., None, None],                       # [B, T, n_use, 1, 1]
+        axis=3,
+    )[..., 0, :]                                        # [B, T, n_use, D]
+    q = jnp.sum(per_book, axis=2)                       # [B, T, D]
+    return jnp.transpose(q, (0, 2, 1))
+
+
+@partial(jax.jit, static_argnames=("ema_mode",), donate_argnums=(0,))
+def ema_update(
+    books: jax.Array,
+    z_tokens: jax.Array,
+    valid: Optional[jax.Array] = None,
+    decay: float = 0.99,
+    ema_mode: str = "reference",
+) -> jax.Array:
+    """One EMA codebook update step; returns new books.
+
+    z_tokens: [B, D, T] detached residual projections (the reference feeds
+    ``r_tokens`` collected during the AR roll,
+    Training/compare_dacvsproposal_3.py:410-411). ``valid``: optional [B, T] bool —
+    padded AR tokens are excluded from the statistics.
+
+    ema_mode="reference": every book's assignment/mean computed on the ORIGINAL
+    tokens (reference :264-276). "residual": on that book's running residual.
+    """
+    X, (B, D, T) = _flatten_bdt(jax.lax.stop_gradient(z_tokens.astype(jnp.float32)))
+    if valid is None:
+        w = jnp.ones((B * T,), jnp.float32)
+    else:
+        w = valid.reshape(B * T).astype(jnp.float32)
+    K = books.shape[1]
+
+    def one_book(carry, emb):
+        target = carry
+        idx = _nearest(target, emb)
+        counts = jax.ops.segment_sum(w, idx, num_segments=K)
+        sums = jax.ops.segment_sum(target * w[:, None], idx, num_segments=K)
+        means = sums / (counts[:, None] + 1e-9)
+        hit = counts > 0
+        new_emb = jnp.where(hit[:, None], decay * emb + (1.0 - decay) * means, emb)
+        if ema_mode == "residual":
+            carry = target - emb[idx]
+        return carry, new_emb
+
+    _, new_books = jax.lax.scan(one_book, X, books.astype(jnp.float32))
+    return new_books

@@ -1,0 +1,142 @@
+"""PLC evaluator (uniform packet loss): per-file deterministic masks, metric splits.
+
+Reference: PLC/PLC1_eval.py:535-928 — two passes: (1) all files, computing
+global/masked/unmasked PSNR + SNR + MAE + ST-SIM with the token->sample mask
+projection and a per-file deterministic mask seed (BASE_SEED + idx); (2) replot the
+top-K files (by PSNR union ST-SIM) with identical reseeded masks. Outputs
+``eval_metrics.csv`` (exact reference fieldnames) + ``eval_summary.json``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import CodecConfig, EvalConfig, PLCConfig
+from ..data.pairs import Pair
+from ..dsp.align import align_by_xcorr, crop_match
+from ..dsp.resample import resample
+from ..models import allpred_ar
+from ..utils import artifacts
+from ..utils.wav_io import load_wav_mono
+from ..eval import metrics as M
+from . import masks
+from . import model as plc_model
+
+CSV_FIELDS = [
+    "stem", "len_samples",
+    "psnr_global_db", "stsim_global",
+    "psnr_masked_db", "psnr_unmasked_db",
+    "snr_masked_db", "snr_unmasked_db",
+    "mae_masked", "mae_unmasked",
+    "stsim_masked", "stsim_unmasked",
+]
+
+
+def eval_plc_file(
+    params: allpred_ar.CodecParams,
+    cfg: CodecConfig,
+    a_path: str,
+    t_path: str,
+    mask_fn: Callable[[int], np.ndarray],
+    peak_global: float,
+    ecfg: EvalConfig = EvalConfig(),
+) -> dict:
+    """One file through the PLC model with a deterministic mask; returns CSV row."""
+    sr24 = cfg.dac.sample_rate
+    a_raw, sr_a = load_wav_mono(a_path)
+    t_raw, sr_t = load_wav_mono(t_path)
+    scale = max(float(np.abs(t_raw).max()), 1e-8)
+
+    a24 = np.asarray(resample(jnp.asarray(a_raw), sr_a, sr24))
+    t24n = np.asarray(resample(jnp.asarray(t_raw / scale), sr_t, sr24))
+    L = min(a24.shape[-1], t24n.shape[-1])
+    a24, t24n = a24[..., :L], t24n[..., :L]
+    a24 = np.clip(np.nan_to_num(a24, nan=0, posinf=0.9999, neginf=-0.9999), -1, 1)
+    t24n = np.clip(np.nan_to_num(t24n, nan=0, posinf=0.9999, neginf=-0.9999), -1, 1)
+
+    t_lat = L // cfg.dac.hop
+    latent_mask = mask_fn(t_lat)                        # [T_lat] bool
+    out = plc_model.forward_step(
+        params, cfg, jnp.asarray(a24[None]), jnp.asarray(t24n[None]),
+        jnp.asarray(latent_mask[None]))
+    y_norm = np.asarray(out.y_hat)[0, 0]
+
+    ref24 = np.asarray(resample(jnp.asarray(t_raw), sr_t, sr24))[0]
+    est24 = y_norm * scale
+    r_c, e_c = crop_match(ref24.reshape(1, -1), est24.reshape(1, -1))
+    r_a, e_a, _ = align_by_xcorr(r_c, e_c, ecfg.max_align_shift)
+    r_a, e_a = crop_match(r_a, e_a)
+
+    psnr_global = M.psnr_global_peak_db(r_a, e_a, peak_global)
+    stsim_g, stsim_m, stsim_u = M.stsim_mel_with_mask(
+        r_a[0], e_a[0], latent_mask, sr=ecfg.eval_sr)
+
+    ref_vec, est_vec = r_a[0], e_a[0]
+    sm = M.token_mask_to_sample_mask(latent_mask, ref_vec.shape[0])
+    return {
+        "stem": os.path.splitext(os.path.basename(t_path))[0],
+        "len_samples": int(ref_vec.shape[0]),
+        "psnr_global_db": psnr_global,
+        "stsim_global": stsim_g,
+        "psnr_masked_db": M.psnr_subset_db(ref_vec, est_vec, sm, peak_global),
+        "psnr_unmasked_db": M.psnr_subset_db(ref_vec, est_vec, ~sm, peak_global),
+        "snr_masked_db": M.snr_subset_db(ref_vec, est_vec, sm),
+        "snr_unmasked_db": M.snr_subset_db(ref_vec, est_vec, ~sm),
+        "mae_masked": M.mae_subset(ref_vec, est_vec, sm),
+        "mae_unmasked": M.mae_subset(ref_vec, est_vec, ~sm),
+        "stsim_masked": stsim_m,
+        "stsim_unmasked": stsim_u,
+    }
+
+
+def eval_plc_uniform(
+    params: allpred_ar.CodecParams,
+    cfg: CodecConfig,
+    pairs: Sequence[Pair],
+    out_dir: str,
+    pcfg: PLCConfig = PLCConfig(),
+    ecfg: EvalConfig = EvalConfig(),
+    seed: int = 7,
+    log: Callable = print,
+) -> dict:
+    """Pass 1 of the reference evaluator over all pairs; writes CSV + summary JSON."""
+    os.makedirs(out_dir, exist_ok=True)
+    peak_global = M.compute_global_peak([t for _, t, _ in pairs])
+    base_seed = seed * 1000  # reference BASE_SEED = SEED * 1000
+
+    rows = []
+    for idx, (ap, tp, stem) in enumerate(pairs, start=1):
+        def mask_fn(t_lat, idx=idx):
+            rng = np.random.default_rng(masks.eval_mask_seed(base_seed, idx))
+            return masks.make_token_loss_mask(
+                rng, 1, t_lat, pcfg.packet_tok, pcfg.packet_loss_prob)[0]
+
+        row = eval_plc_file(params, cfg, ap, tp, mask_fn, peak_global, ecfg)
+        rows.append(row)
+        log(f"[plc-eval {idx}/{len(pairs)}] {stem} "
+            f"PSNR {row['psnr_global_db']:.2f} dB ST-SIM {row['stsim_global']:.4f}")
+
+    artifacts.write_csv(os.path.join(out_dir, "eval_metrics.csv"), rows, CSV_FIELDS)
+    summary = {
+        "mean_psnr_global_db": float(np.nanmean([r["psnr_global_db"] for r in rows])),
+        "mean_stsim_global": float(np.nanmean([r["stsim_global"] for r in rows])),
+        "mean_psnr_masked_db": float(np.nanmean([r["psnr_masked_db"] for r in rows])),
+        "mean_psnr_unmasked_db": float(
+            np.nanmean([r["psnr_unmasked_db"] for r in rows])),
+        "mean_snr_masked_db": float(np.nanmean([r["snr_masked_db"] for r in rows])),
+        "mean_snr_unmasked_db": float(
+            np.nanmean([r["snr_unmasked_db"] for r in rows])),
+        "mean_mae_masked": float(np.nanmean([r["mae_masked"] for r in rows])),
+        "mean_mae_unmasked": float(np.nanmean([r["mae_unmasked"] for r in rows])),
+        "mean_stsim_masked": float(np.nanmean([r["stsim_masked"] for r in rows])),
+        "mean_stsim_unmasked": float(
+            np.nanmean([r["stsim_unmasked"] for r in rows])),
+        "num_files": len(rows),
+        "peak_global": peak_global,
+    }
+    artifacts.write_json(os.path.join(out_dir, "eval_summary.json"), summary)
+    return summary

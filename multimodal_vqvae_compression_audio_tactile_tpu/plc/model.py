@@ -1,0 +1,107 @@
+"""Audio->tactile packet-loss concealment model (AllPredPLC).
+
+Reference: PLC/PLC1.py:349-422 (uniform) and PLC/PLC1_low_mid_high.py:416-500
+(category bursts; adds audio-latent length matching via linear interpolation).
+Frozen backbones; masked tactile latent tokens are zeroed (what the receiver sees),
+a full-sequence cross-attention predicts every token from audio + surviving tactile
+context, and only masked positions are replaced before decoding.
+
+Unlike the codec, there is no AR roll: one 75x75 cross-attention per second of
+signal — a single MXU-friendly batched matmul under jit. The mask arrives as a
+plain boolean input (host-generated, see plc.masks).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import CodecConfig
+from ..models import allpred_ar, dac
+from ..nn.layers import cross_predictor_apply, cross_predictor_init, token_norm_init
+
+
+def plc_head_init(key: jax.Array, cfg: CodecConfig) -> dict:
+    """Trainable PLC head: predictor (+ tokennorm kept for checkpoint parity with
+    the reference, which instantiates but does not use it in the forward —
+    PLC/PLC1.py:374-375)."""
+    kp, _ = jax.random.split(key)
+    return {
+        "predict": cross_predictor_init(kp, cfg.predictor),
+        "tokennorm": token_norm_init(cfg.predictor.dim),
+    }
+
+
+def _interp_latent(x: jax.Array, t_out: int) -> jax.Array:
+    """Linear length-matching of [B, C, T] latents (align_corners=False), as the
+    reference does when audio/tactile token counts differ
+    (PLC/PLC1_low_mid_high.py:478-483)."""
+    t_in = x.shape[-1]
+    if t_in == t_out:
+        return x
+    pos = (jnp.arange(t_out, dtype=jnp.float32) + 0.5) * (t_in / t_out) - 0.5
+    pos = jnp.clip(pos, 0.0, t_in - 1.0)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, t_in - 1)
+    w = pos - lo
+    return x[..., lo] * (1.0 - w) + x[..., hi] * w
+
+
+class PLCOut(NamedTuple):
+    y_hat: jax.Array
+    tgt: jax.Array
+    latent_mask: jax.Array  # [B, 1, T_lat]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def forward_step(
+    params: allpred_ar.CodecParams,
+    cfg: CodecConfig,
+    a: jax.Array,
+    tc: jax.Array,
+    mask_tokens: jax.Array,
+    dropout_rng: Optional[jax.Array] = None,
+) -> PLCOut:
+    """a, tc: [B, 1, T] waveforms; mask_tokens: [B, T_lat] bool (True = lost).
+
+    Reference: PLC/PLC1.py:377-422 / PLC1_low_mid_high.py:445-500.
+    """
+    qa, zt_full = allpred_ar.backbone_latents(params, cfg, a, tc)
+    B, C, T_lat = zt_full.shape
+    m = mask_tokens[:, None, :]                        # [B, 1, T_lat]
+
+    zt_in = zt_full * (~m)                             # receiver view
+    qa_res = _interp_latent(qa, T_lat)
+    z_pred = cross_predictor_apply(
+        params.head["predict"], zt_in, qa_res, cfg.predictor,
+        dropout_rng=dropout_rng)
+    z_filled = jnp.where(m, z_pred, zt_in)
+    y_hat = dac.decode(params.tactile_dac, cfg.dac, z_filled)
+
+    T = min(y_hat.shape[-1], tc.shape[-1])
+    fin = lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
+    return PLCOut(fin(y_hat[..., :T]), fin(tc[..., :T]), m)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def conceal(
+    params: allpred_ar.CodecParams,
+    cfg: CodecConfig,
+    a: jax.Array,
+    zt_received: jax.Array,
+    mask_tokens: jax.Array,
+) -> jax.Array:
+    """Streaming inference: conceal losses in an already-encoded tactile latent
+    stream (the receiver never re-encodes; lost tokens arrive zeroed)."""
+    za = dac.encode(params.audio_dac, cfg.dac, a)
+    qa, *_ = dac.quantize(params.audio_dac["quantizer"], za)
+    m = mask_tokens[:, None, :]
+    zt_in = zt_received * (~m)
+    qa_res = _interp_latent(qa, zt_in.shape[-1])
+    z_pred = cross_predictor_apply(params.head["predict"], zt_in, qa_res,
+                                   cfg.predictor)
+    z_filled = jnp.where(m, z_pred, zt_in)
+    return dac.decode(params.tactile_dac, cfg.dac, z_filled)

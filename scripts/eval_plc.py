@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Evaluate a trained PLC model.
+
+Mirrors PLC/PLC1_eval.py (uniform, deterministic per-file masks) and
+PLC/PLC1_low_mid_high_eval.py (fixed categories).
+
+    python scripts/eval_plc.py --mode uniform --run-dir R --audio-dir A --tact-dir T
+"""
+
+import argparse
+import os
+
+import _common
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["uniform", "category"], default="uniform")
+    ap.add_argument("--run-dir", required=True)
+    ap.add_argument("--audio-dir", required=True)
+    ap.add_argument("--tact-dir", required=True)
+    ap.add_argument("--backbone")
+    ap.add_argument("--checkpoint", default="best.msgpack")
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    _common.setup_jax(cpu=args.cpu)
+
+    import jax
+
+    from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+        CodecConfig, PLCConfig)
+    from multimodal_vqvae_compression_audio_tactile_tpu.data.pairs import pair_stems
+    from multimodal_vqvae_compression_audio_tactile_tpu.models import allpred_ar
+    from multimodal_vqvae_compression_audio_tactile_tpu.plc import model as plc_model
+    from multimodal_vqvae_compression_audio_tactile_tpu.plc.eval_categories import (
+        eval_plc_categories)
+    from multimodal_vqvae_compression_audio_tactile_tpu.plc.eval_uniform import (
+        eval_plc_uniform)
+    from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+        checkpoint as ckpt)
+
+    cfg = CodecConfig()
+    backbones = _common.default_backbones(cfg, args.backbone, args.seed)
+    template = plc_model.plc_head_init(jax.random.key(0), cfg)
+    head, _, _ = ckpt.load_checkpoint_tolerant(
+        os.path.join(args.run_dir, args.checkpoint), template)
+    params = allpred_ar.CodecParams(backbones["audio"], backbones["tactile"], head)
+
+    pairs = pair_stems(args.audio_dir, args.tact_dir)
+    if args.mode == "uniform":
+        eval_plc_uniform(params, cfg, pairs, args.run_dir, PLCConfig(),
+                         seed=args.seed)
+    else:
+        eval_plc_categories(params, cfg, pairs, args.run_dir, PLCConfig(),
+                            seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Train a packet-loss-concealment model.
+
+Mirrors PLC/PLC1.py (uniform packets) and PLC/PLC1_low_mid_high.py (category
+bursts) with the reference defaults (50 epochs, packets of 2 tokens @ p=0.5,
+categories 52/32/16%).
+
+    python scripts/train_plc.py --mode uniform --audio-dir A --tact-dir T --out-dir O
+    python scripts/train_plc.py --mode category ...
+"""
+
+import argparse
+
+import _common
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["uniform", "category"], default="uniform")
+    ap.add_argument("--audio-dir")
+    ap.add_argument("--tact-dir")
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--backbone")
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=6)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--synth", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    _common.setup_jax(cpu=args.cpu)
+
+    from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+        CodecConfig, PLCConfig, TrainConfig)
+    from multimodal_vqvae_compression_audio_tactile_tpu.data import (
+        SegmentDataset, batch_iterator, pair_stems, split_items)
+    from multimodal_vqvae_compression_audio_tactile_tpu.data.synth import (
+        make_synth_corpus)
+    from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import train_plc
+
+    cfg = CodecConfig()
+    tcfg = TrainConfig(epochs=args.epochs, batch=args.batch, seed=args.seed)
+    pcfg = PLCConfig()
+
+    if args.synth:
+        pairs = make_synth_corpus(args.out_dir + "/_synth", n_pairs=args.synth,
+                                  seed=args.seed)
+    else:
+        pairs = pair_stems(args.audio_dir, args.tact_dir)
+    tr, va = split_items(pairs, tcfg.val_frac, tcfg.max_val, tcfg.seed)
+    ds_tr = SegmentDataset(tr, sr=tcfg.target_sr, seg=tcfg.seg, seed=tcfg.seed)
+    ds_va = SegmentDataset(va, sr=tcfg.target_sr, seg=tcfg.seg, seed=tcfg.seed)
+
+    backbones = _common.default_backbones(cfg, args.backbone, args.seed)
+    train_plc(
+        cfg, tcfg, pcfg, backbones,
+        train_batches=lambda ep: batch_iterator(ds_tr, tcfg.batch, seed=tcfg.seed,
+                                                epoch=ep),
+        val_batches=lambda: batch_iterator(ds_va, tcfg.batch, shuffle=False,
+                                           drop_last=False),
+        out_dir=args.out_dir, mode=args.mode, seed=tcfg.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Residual VQ tests: nearest-code math, STE gradient, EMA update, Pallas parity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_vqvae_compression_audio_tactile_tpu.ops import (
+    ema_update, rvq_decode, rvq_encode, rvq_init, rvq_quantize,
+)
+from multimodal_vqvae_compression_audio_tactile_tpu.ops.vq_pallas import (
+    rvq_quantize_fused,
+)
+
+
+def _reference_rvq_numpy(books, z, n_use=None):
+    """Direct numpy transcription of the reference formula
+    (Training/compare_dacvsproposal_3.py:250-263)."""
+    n_books, K, D = books.shape
+    use = n_books if n_use is None else min(n_use, n_books)
+    B, Dz, T = z.shape
+    x = np.transpose(z, (0, 2, 1)).reshape(B * T, Dz)
+    residual = x.copy()
+    q_sum = np.zeros_like(x)
+    idxs = []
+    for b in range(use):
+        emb = books[b]
+        scores = residual @ emb.T - 0.5 * np.sum(emb * emb, axis=1)[None, :]
+        idx = np.argmax(scores, axis=1)
+        q = emb[idx]
+        q_sum += q
+        residual -= q
+        idxs.append(idx)
+    q_bdt = np.transpose(q_sum.reshape(B, T, Dz), (0, 2, 1))
+    return q_bdt, np.stack(idxs, axis=-1).reshape(B, T, use)
+
+
+@pytest.fixture
+def setup(rng):
+    key = jax.random.key(0)
+    books = np.asarray(rvq_init(key, n_books=4, n_embed=32, dim=16))
+    z = rng.standard_normal((2, 16, 10)).astype(np.float32)
+    return books, z
+
+
+class TestQuantize:
+    def test_indices_bitexact_vs_reference_formula(self, setup):
+        books, z = setup
+        ref_q, ref_idx = _reference_rvq_numpy(books, z)
+        q, idx = rvq_quantize(jnp.asarray(books), jnp.asarray(z))
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+        np.testing.assert_allclose(np.asarray(q), ref_q, rtol=1e-5, atol=1e-5)
+
+    def test_rate_scalable_books_use(self, setup):
+        books, z = setup
+        ref_q, ref_idx = _reference_rvq_numpy(books, z, n_use=2)
+        q, idx = rvq_quantize(jnp.asarray(books), jnp.asarray(z), n_books_use=2)
+        assert idx.shape[-1] == 2
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+        np.testing.assert_allclose(np.asarray(q), ref_q, rtol=1e-5, atol=1e-5)
+
+    def test_ste_gradient_reference_scaling(self, setup):
+        # the reference's accumulated STE passes n_books * I to the input
+        books, z = setup
+        g = jax.grad(lambda zz: jnp.sum(rvq_quantize(jnp.asarray(books), zz)[0]))(
+            jnp.asarray(z))
+        np.testing.assert_allclose(np.asarray(g), 4.0, rtol=1e-6)
+
+    def test_ste_gradient_unit(self, setup):
+        books, z = setup
+        g = jax.grad(lambda zz: jnp.sum(
+            rvq_quantize(jnp.asarray(books), zz, ste_scale="unit")[0]))(jnp.asarray(z))
+        np.testing.assert_allclose(np.asarray(g), 1.0, rtol=1e-6)
+
+    def test_no_gradient_to_books(self, setup):
+        books, z = setup
+        g = jax.grad(lambda bb: jnp.sum(rvq_quantize(bb, jnp.asarray(z))[0]))(
+            jnp.asarray(books))
+        np.testing.assert_allclose(np.asarray(g), 0.0)
+
+    def test_residual_error_decreases_with_books(self, setup):
+        books, z = setup
+        errs = []
+        for use in (1, 2, 4):
+            q, _ = rvq_quantize(jnp.asarray(books), jnp.asarray(z), n_books_use=use)
+            errs.append(float(jnp.mean((q - z) ** 2)))
+        assert errs[0] >= errs[1] >= errs[2]
+
+
+class TestEncodeDecode:
+    def test_roundtrip(self, setup):
+        books, z = setup
+        bj = jnp.asarray(books)
+        zj = jnp.asarray(z)
+        idx = rvq_encode(bj, zj)
+        q_dec = rvq_decode(bj, idx)
+        q, _ = rvq_quantize(bj, zj)
+        np.testing.assert_allclose(np.asarray(q_dec), np.asarray(q), rtol=1e-5, atol=1e-6)
+
+    def test_index_dtype_and_range(self, setup):
+        books, z = setup
+        idx = rvq_encode(jnp.asarray(books), jnp.asarray(z))
+        assert idx.dtype == jnp.int32
+        assert int(idx.min()) >= 0 and int(idx.max()) < 32
+
+
+class TestEMA:
+    def _reference_ema_numpy(self, books, z, decay=0.99):
+        """Transcription of reference ema_step (compare_dacvsproposal_3.py:264-276):
+        note X is the ORIGINAL tokens for every book."""
+        out = books.copy()
+        B, D, T = z.shape
+        X = np.transpose(z, (0, 2, 1)).reshape(B * T, D)
+        for b in range(books.shape[0]):
+            emb = out[b]
+            idx = np.argmax(X @ emb.T - 0.5 * np.sum(emb * emb, 1)[None, :], axis=1)
+            K = emb.shape[0]
+            counts = np.bincount(idx, minlength=K).astype(np.float64)
+            sums = np.zeros_like(emb, dtype=np.float64)
+            np.add.at(sums, idx, X)
+            mask = counts > 0
+            means = np.zeros_like(emb, dtype=np.float64)
+            means[mask] = sums[mask] / (counts[mask, None] + 1e-9)
+            emb[mask] = decay * emb[mask] + (1 - decay) * means[mask]
+        return out
+
+    def test_matches_reference_math(self, setup):
+        books, z = setup
+        ref = self._reference_ema_numpy(books.copy(), z)
+        new = ema_update(jnp.asarray(books), jnp.asarray(z))
+        np.testing.assert_allclose(np.asarray(new), ref, rtol=1e-4, atol=1e-5)
+
+    def test_valid_mask_excludes_tokens(self, setup, rng):
+        books, z = setup
+        # poison the last 3 tokens; with them masked out the update must equal
+        # the update computed on the clean prefix
+        z_poison = z.copy()
+        z_poison[..., -3:] = 1e6
+        valid = np.ones((2, 10), bool)
+        valid[:, -3:] = False
+        masked = ema_update(jnp.asarray(books), jnp.asarray(z_poison),
+                            valid=jnp.asarray(valid))
+        clean = ema_update(jnp.asarray(books), jnp.asarray(z[..., :7]))
+        np.testing.assert_allclose(np.asarray(masked), np.asarray(clean),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_moves_codes_toward_data(self, rng):
+        key = jax.random.key(1)
+        books = rvq_init(key, 1, 8, 4)
+        target = rng.standard_normal((1, 4, 1)).astype(np.float32)
+        z = jnp.asarray(np.repeat(target, 50, axis=-1))
+        b = books
+        for _ in range(200):
+            b = ema_update(b, z, decay=0.9)
+        q, _ = rvq_quantize(b, jnp.asarray(target))
+        assert float(jnp.mean((q - target) ** 2)) < 1e-3
+
+
+class TestPallasKernel:
+    def test_matches_pure_jax(self, setup):
+        books, z = setup
+        bj, zj = jnp.asarray(books), jnp.asarray(z)
+        q_ref, idx_ref = rvq_quantize(bj, zj)
+        q_pal, idx_pal = rvq_quantize_fused(bj, zj, interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx_pal), np.asarray(idx_ref))
+        np.testing.assert_allclose(np.asarray(q_pal), np.asarray(q_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_books_use_and_padding(self, rng):
+        # D=96 (pad to 128), K=128, N not a tile multiple
+        key = jax.random.key(2)
+        books = rvq_init(key, 3, 128, 96)
+        z = jnp.asarray(rng.standard_normal((1, 96, 75)).astype(np.float32))
+        q_ref, idx_ref = rvq_quantize(books, z, n_books_use=2)
+        q_pal, idx_pal = rvq_quantize_fused(books, z, n_books_use=2, interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx_pal), np.asarray(idx_ref))
+        np.testing.assert_allclose(np.asarray(q_pal), np.asarray(q_ref),
+                                   rtol=1e-4, atol=1e-4)

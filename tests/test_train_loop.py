@@ -1,0 +1,132 @@
+"""Train loop integration: loss decreases, checkpoints, artifacts, data pipeline."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_vqvae_compression_audio_tactile_tpu.core.config import TrainConfig
+from multimodal_vqvae_compression_audio_tactile_tpu.data import (
+    SegmentDataset, batch_iterator, pair_stems, split_items,
+)
+from multimodal_vqvae_compression_audio_tactile_tpu.data.synth import (
+    make_synth_corpus,
+)
+from multimodal_vqvae_compression_audio_tactile_tpu.models import allpred_ar
+from multimodal_vqvae_compression_audio_tactile_tpu.train import checkpoint as ckpt
+from multimodal_vqvae_compression_audio_tactile_tpu.train.loop import train_codec
+
+from test_allpred_ar import tiny_codec_cfg
+
+CFG = tiny_codec_cfg()
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    pairs = make_synth_corpus(str(root), n_pairs=6, dur_sec=0.5)
+    return str(root), pairs
+
+
+class TestSynthData:
+    def test_corpus_contract(self, corpus):
+        root, pairs = corpus
+        assert len(pairs) == 6
+        found = pair_stems(os.path.join(root, "audio"), os.path.join(root, "tactile"))
+        assert [p[2] for p in found] == [p[2] for p in pairs]
+
+    def test_split(self, corpus):
+        _, pairs = corpus
+        tr, va = split_items(pairs, val_frac=0.2, seed=7)
+        assert len(tr) + len(va) == len(pairs)
+        assert len(va) >= 1
+        tr2, va2 = split_items(pairs, val_frac=0.2, seed=7)
+        assert [p[2] for p in tr] == [p[2] for p in tr2]  # deterministic
+
+    def test_segment_dataset(self, corpus):
+        _, pairs = corpus
+        ds = SegmentDataset(pairs, sr=24000, seg=4800)
+        a, t = ds[0]
+        assert a.shape == (4800,) and t.shape == (4800,)
+        assert np.isfinite(a).all() and np.isfinite(t).all()
+        assert np.abs(a).max() <= 1.0
+
+    def test_batch_iterator(self, corpus):
+        _, pairs = corpus
+        ds = SegmentDataset(pairs, sr=24000, seg=4800)
+        batches = list(batch_iterator(ds, batch=2, seed=7, epoch=0))
+        assert len(batches) == 3
+        a, t = batches[0]
+        assert a.shape == (2, 1, 4800) and t.shape == (2, 1, 4800)
+        # epoch reshuffle changes order, same-epoch iteration is deterministic
+        again = list(batch_iterator(ds, batch=2, seed=7, epoch=0))
+        np.testing.assert_array_equal(batches[0][0], again[0][0])
+
+
+class TestTrainLoop:
+    def test_two_epochs_end_to_end(self, corpus, tmp_path):
+        _, pairs = corpus
+        ds = SegmentDataset(pairs, sr=24000, seg=3200)
+        tcfg = TrainConfig(epochs=2, batch=2, best_after_epoch=0, seg_sec=3200 / 24000)
+        params = allpred_ar.codec_init(jax.random.key(0), CFG)
+        backbones = {"audio": params.audio_dac, "tactile": params.tactile_dac}
+        out_dir = str(tmp_path / "run")
+
+        hist = train_codec(
+            CFG, tcfg, backbones,
+            train_batches=lambda ep: batch_iterator(ds, 2, seed=7, epoch=ep),
+            val_batches=lambda: batch_iterator(ds, 2, shuffle=False,
+                                               drop_last=False),
+            out_dir=out_dir,
+        )
+        assert len(hist["train"]) == 2
+        assert all(np.isfinite(v) for v in hist["train"] + hist["val"])
+        assert os.path.exists(os.path.join(out_dir, "last.msgpack"))
+        assert os.path.exists(os.path.join(out_dir, "hist.json"))
+        assert os.path.exists(os.path.join(out_dir, "curves.png"))
+        with open(os.path.join(out_dir, "hist.json")) as f:
+            h2 = json.load(f)
+        assert h2["train"] == hist["train"]
+
+        # restore and run inference with the trained head
+        head2, ep, hist2 = ckpt.load_checkpoint(
+            os.path.join(out_dir, "last.msgpack"), params.head)
+        assert ep == 2
+        p2 = allpred_ar.CodecParams(params.audio_dac, params.tactile_dac, head2)
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.standard_normal((1, 1, 3200)).astype(np.float32))
+        t = jnp.asarray(rng.standard_normal((1, 1, 3200)).astype(np.float32))
+        y = allpred_ar.forward_eval(p2, CFG, a, t)
+        assert bool(jnp.isfinite(y).all())
+
+
+class TestCheckpoint:
+    def test_roundtrip_exact(self, tmp_path):
+        params = allpred_ar.head_init(jax.random.key(3), CFG)
+        path = str(tmp_path / "c.msgpack")
+        ckpt.save_checkpoint(path, params, epoch=5, hist={"train": [1.0]})
+        restored, ep, hist = ckpt.load_checkpoint(path, params)
+        assert ep == 5 and hist == {"train": [1.0]}
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_tolerant_load_shape_mismatch(self, tmp_path):
+        from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+            RVQConfig)
+        import dataclasses
+        params = allpred_ar.head_init(jax.random.key(3), CFG)
+        path = str(tmp_path / "c.msgpack")
+        ckpt.save_checkpoint(path, params, epoch=1)
+        # template with a different RVQ shape: books must stay from the template
+        cfg2 = dataclasses.replace(CFG, rvq=RVQConfig(code_dim=16, n_books=3,
+                                                      n_embed=8))
+        template = allpred_ar.head_init(jax.random.key(4), cfg2)
+        restored, _, _ = ckpt.load_checkpoint_tolerant(path, template)
+        assert restored["vq_books"].shape == (3, 8, 16)
+        # compatible leaves were taken from the checkpoint
+        np.testing.assert_array_equal(np.asarray(restored["scale"]),
+                                      np.asarray(params["scale"]))
