@@ -65,7 +65,8 @@ def mel_mag(
     mag = stft_mag(x, n_fft=n_fft, hop=hop, center=True)
     mag = jnp.maximum(mag, eps)
     fb = jnp.asarray(mel_fbanks_htk(n_fft // 2 + 1, 0.0, sr * 0.5, n_mels, sr))
-    M = jnp.einsum("...ft,fm->...mt", mag, fb)
+    M = jnp.einsum("...ft,fm->...mt", mag, fb,
+                   precision=jax.lax.Precision.HIGHEST)
     den = jnp.maximum(jnp.max(M, axis=(-2, -1), keepdims=True), eps)
     M = M / den
     if log:

@@ -76,6 +76,7 @@ def resample(
         xf, jnp.asarray(kernels),
         window_strides=(orig_g,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
     )  # [B, new_g, frames]
     y = jnp.swapaxes(y, 1, 2).reshape(xf.shape[0], -1)
     target_len = int(math.ceil(new_g * T / orig_g))

@@ -71,7 +71,8 @@ def head_init(key: jax.Array, cfg: CodecConfig) -> dict:
 
 def _proj(p: dict, x_bct: jax.Array) -> jax.Array:
     """1x1 conv as einsum: [B, C, T] x [C, D] -> [B, D, T]."""
-    y = jnp.einsum("bct,cd->bdt", x_bct, p["w"].astype(x_bct.dtype))
+    y = jnp.einsum("bct,cd->bdt", x_bct, p["w"].astype(x_bct.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
     return y + p["b"].astype(x_bct.dtype)[None, :, None]
 
 

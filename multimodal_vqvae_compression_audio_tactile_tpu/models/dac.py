@@ -54,17 +54,25 @@ def conv1d(p: dict, x: jax.Array, stride: int = 1, dilation: int = 1,
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,), padding=pad,
         rhs_dilation=(dilation,), dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return y + p["b"].astype(x.dtype)[None, :, None]
 
 
 def conv1d_transpose(p: dict, x: jax.Array, stride: int) -> jax.Array:
-    """Transposed conv with output length exactly T * stride."""
-    w = p["w"].astype(x.dtype)  # [C_out, C_in, k]
+    """Transposed conv with output length exactly T * stride.
+
+    ``transpose_kernel=True`` gives the true gradient-of-conv semantics, matching
+    torch ConvTranspose1d(k=2r, stride=r, padding=ceil(r/2), output_padding=r%2)
+    bit-for-bit (verified in tests/test_dac_import.py).
+    """
+    w = p["w"].astype(x.dtype)  # stored [C_out, C_in, k]
     y = jax.lax.conv_transpose(
-        x, jnp.transpose(w, (2, 1, 0)),  # [k, C_in, C_out] for HIO
+        x, jnp.transpose(w, (2, 0, 1)),  # [k, C_out, C_in]
         strides=(stride,), padding="SAME",
         dimension_numbers=("NCH", "HIO", "NCH"),
+        transpose_kernel=True,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return y + p["b"].astype(x.dtype)[None, :, None]
 
@@ -211,7 +219,8 @@ def quantize(params: dict, z: jax.Array, n_quantizers: Optional[int] = None
     def body(carry, book):
         residual, zq = carry
         in_p, out_p, cb = book
-        e = residual @ in_p                               # [N, cd]
+        e = jnp.dot(residual, in_p,
+                    precision=jax.lax.Precision.HIGHEST)  # [N, cd]
         en, cn = _l2n(e), _l2n(cb)
         scores = jnp.dot(en, cn.T, precision=jax.lax.Precision.HIGHEST)
         idx = jnp.argmax(scores, axis=1)
@@ -221,7 +230,8 @@ def quantize(params: dict, z: jax.Array, n_quantizers: Optional[int] = None
         codebk = jnp.mean((jax.lax.stop_gradient(e) - q_cd) ** 2)
         # straight-through in the factorized space, then project out
         q_st = e + jax.lax.stop_gradient(q_cd - e)
-        z_b = q_st @ out_p                                # [N, C]
+        z_b = jnp.dot(q_st, out_p,
+                      precision=jax.lax.Precision.HIGHEST)  # [N, C]
         return (residual - jax.lax.stop_gradient(z_b), zq + z_b), (idx, commit, codebk)
 
     books = (q["in_proj"][:use], q["out_proj"][:use], q["codebooks"][:use])
@@ -242,7 +252,8 @@ def dequantize(params: dict, codes: jax.Array) -> jax.Array:
     out_p = q["out_proj"][:n_use]                         # [n, cd, C]
     q_cd = jnp.take_along_axis(
         cb[None, None], codes[..., None, None], axis=3)[..., 0, :]  # [B,T,n,cd]
-    z = jnp.einsum("btnd,ndc->btc", q_cd, out_p)
+    z = jnp.einsum("btnd,ndc->btc", q_cd, out_p,
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.transpose(z, (0, 2, 1))
 
 

@@ -56,7 +56,8 @@ def linear_init(key: jax.Array, d_in: int, d_out: int, bias: bool = True) -> dic
 
 
 def linear(params: dict, x: jax.Array) -> jax.Array:
-    y = x @ params["w"].astype(x.dtype)
+    y = jnp.dot(x, params["w"].astype(x.dtype),
+                precision=jax.lax.Precision.HIGHEST)
     if "b" in params:
         y = y + params["b"].astype(x.dtype)
     return y
@@ -133,12 +134,14 @@ def cross_predictor_apply(
     K = split(linear(params["k_proj"], kv))
     V = split(linear(params["v_proj"], kv))
 
-    attn = jnp.einsum("bhqd,bhkd->bhqk", Q, K) / math.sqrt(dh)
+    attn = jnp.einsum("bhqd,bhkd->bhqk", Q, K,
+                      precision=jax.lax.Precision.HIGHEST) / math.sqrt(dh)
     if kv_valid is not None:
         mask = kv_valid if kv_valid.ndim == 2 else kv_valid[None]
         attn = jnp.where(mask[:, None, None, :], attn, jnp.finfo(attn.dtype).min)
     attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(Q.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, V)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, V,
+                     precision=jax.lax.Precision.HIGHEST)
 
     B, _, Tq, _ = ctx.shape
     merged = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(B, Tq, cfg.dim)
