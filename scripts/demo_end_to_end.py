@@ -1,0 +1,227 @@
+#!/usr/bin/env python3
+"""End-to-end demonstration of the full framework on one accelerator.
+
+Runs the complete reference workflow (SURVEY.md §3) on a synthetic corpus:
+
+  1. generate a paired audio/tactile corpus (stand-in for the stripped dataset)
+  2. pretrain the DAC-class backbone (waveform reconstruction + VQ losses)
+  3. train AR cross-modal codecs at several RVQ operating points (mini sweep)
+  4. train a PLC model (uniform packet loss)
+  5. run the full codec benchmark (backbone baseline + proposed sweep + native
+     VC-PWQ codec + latency) and the PLC evaluators
+  6. write every artifact of the reference contract (checkpoints, hist/meta,
+     sweep_summary.csv, combined eval JSON, RD plots, example plots, PLC CSVs)
+
+    python scripts/demo_end_to_end.py --root /tmp/tpu_demo [--pairs 48]
+        [--pretrain-epochs 30] [--codec-epochs 30] [--plc-epochs 10]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import time
+
+import _common
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--pairs", type=int, default=48)
+    ap.add_argument("--dur-sec", type=float, default=2.0)
+    ap.add_argument("--pretrain-epochs", type=int, default=30)
+    ap.add_argument("--codec-epochs", type=int, default=30)
+    ap.add_argument("--plc-epochs", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--books-grid", default="2,6,10")
+    ap.add_argument("--embed-grid", default="128")
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+    _common.setup_jax(cpu=args.cpu)
+
+    import dataclasses
+
+    import jax
+
+    from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+        CodecConfig, EvalConfig, PLCConfig, PredictorConfig, RVQConfig,
+        SweepConfig, TrainConfig)
+    from multimodal_vqvae_compression_audio_tactile_tpu.data import (
+        SegmentDataset, batch_iterator, split_items)
+    from multimodal_vqvae_compression_audio_tactile_tpu.data.synth import (
+        make_synth_corpus)
+    from multimodal_vqvae_compression_audio_tactile_tpu.eval import metrics as M
+    from multimodal_vqvae_compression_audio_tactile_tpu.eval.dac_baseline import (
+        eval_backbone_codec)
+    from multimodal_vqvae_compression_audio_tactile_tpu.eval import plots
+    from multimodal_vqvae_compression_audio_tactile_tpu.eval.proposed import (
+        eval_proposed_runs)
+    from multimodal_vqvae_compression_audio_tactile_tpu.eval.vcpwq import (
+        eval_vc_pwq)
+    from multimodal_vqvae_compression_audio_tactile_tpu.models import (
+        allpred_ar, dac)
+    from multimodal_vqvae_compression_audio_tactile_tpu.plc import (
+        model as plc_model)
+    from multimodal_vqvae_compression_audio_tactile_tpu.plc.eval_uniform import (
+        eval_plc_uniform)
+    from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import train_plc
+    from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+        checkpoint as ckpt)
+    from multimodal_vqvae_compression_audio_tactile_tpu.train.pretrain_backbone \
+        import pretrain_backbone
+    from multimodal_vqvae_compression_audio_tactile_tpu.train.sweep import (
+        run_sweep)
+
+    t_start = time.time()
+    root = args.root
+    os.makedirs(root, exist_ok=True)
+    print(f"[demo] backend={jax.default_backend()} root={root}", flush=True)
+
+    cfg = CodecConfig()
+    if args.tiny:
+        d = cfg.dac.tiny()
+        cfg = dataclasses.replace(
+            cfg, dac=d, predictor=PredictorConfig(dim=d.latent_dim, heads=8),
+            rvq=RVQConfig(code_dim=16, n_books=10, n_embed=128), ar_chunk_tok=4)
+
+    # ---- 1. corpus -------------------------------------------------------
+    pairs = make_synth_corpus(os.path.join(root, "corpus"), n_pairs=args.pairs,
+                              dur_sec=args.dur_sec, seed=args.seed)
+    audio_dir = os.path.join(root, "corpus", "audio")
+    tact_dir = os.path.join(root, "corpus", "tactile")
+    print(f"[demo] corpus: {len(pairs)} pairs", flush=True)
+
+    tr, va = split_items(pairs, 0.2, 300, args.seed)
+    seg = int(1.0 * cfg.dac.sample_rate)
+    tcfg_bb = TrainConfig(epochs=args.pretrain_epochs, batch=args.batch,
+                          seed=args.seed)
+    ds_tr = SegmentDataset(tr, sr=cfg.dac.sample_rate, seg=seg, seed=args.seed)
+    ds_va = SegmentDataset(va, sr=cfg.dac.sample_rate, seg=seg, seed=args.seed)
+
+    # ---- 2. backbone pretraining ----------------------------------------
+    bb_dir = os.path.join(root, "backbone")
+
+    def wav_only(it, idx):
+        for batch in it:
+            yield batch[idx]
+
+    t0 = time.time()
+    pretrain_backbone(
+        cfg.dac, tcfg_bb,
+        train_batches=lambda ep: wav_only(
+            batch_iterator(ds_tr, args.batch, seed=args.seed, epoch=ep), 1),
+        val_batches=lambda: wav_only(
+            batch_iterator(ds_va, args.batch, shuffle=False, drop_last=False), 1),
+        out_dir=bb_dir, seed=args.seed)
+    print(f"[demo] backbone pretrained in {time.time()-t0:.0f}s", flush=True)
+
+    template = dac.dac_init(jax.random.key(0), cfg.dac)
+    bb_params, _, _ = ckpt.load_checkpoint_tolerant(
+        os.path.join(bb_dir, "best.msgpack"), template)
+    backbones = {"audio": bb_params, "tactile": bb_params}
+
+    # ---- 3. codec sweep ---------------------------------------------------
+    sweep_root = os.path.join(root, "sweep")
+    tcfg_cd = TrainConfig(epochs=args.codec_epochs, batch=args.batch,
+                          seed=args.seed,
+                          best_after_epoch=min(6, args.codec_epochs - 1))
+    sweep = SweepConfig(
+        books_grid=tuple(int(x) for x in args.books_grid.split(",")),
+        embed_grid=tuple(int(x) for x in args.embed_grid.split(",")))
+    t0 = time.time()
+    run_sweep(
+        cfg, tcfg_cd, sweep, backbones,
+        train_batches=lambda ep: batch_iterator(ds_tr, args.batch,
+                                                seed=args.seed, epoch=ep),
+        val_batches=lambda: batch_iterator(ds_va, args.batch, shuffle=False,
+                                           drop_last=False),
+        out_root=sweep_root)
+    print(f"[demo] sweep trained in {time.time()-t0:.0f}s", flush=True)
+
+    # ---- 4. PLC -----------------------------------------------------------
+    plc_dir = os.path.join(root, "plc_uniform")
+    tcfg_plc = TrainConfig(epochs=args.plc_epochs, batch=args.batch,
+                           seed=args.seed, best_after_epoch=0)
+    t0 = time.time()
+    train_plc(cfg, tcfg_plc, PLCConfig(), backbones,
+              train_batches=lambda ep: batch_iterator(ds_tr, args.batch,
+                                                      seed=args.seed, epoch=ep),
+              val_batches=lambda: batch_iterator(ds_va, args.batch,
+                                                 shuffle=False, drop_last=False),
+              out_dir=plc_dir, mode="uniform", seed=args.seed)
+    print(f"[demo] PLC trained in {time.time()-t0:.0f}s", flush=True)
+
+    # ---- 5a. native VC-PWQ on the corpus ---------------------------------
+    codec_bin = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native", "vcpwq", "vcpwq_codec")
+    vc_dec = os.path.join(root, "vc_decoded")
+    vc_comp = os.path.join(root, "vc_compressed")
+    if os.path.exists(codec_bin):
+        for b in (8, 24, 48):
+            subprocess.run([codec_bin, "batch", tact_dir, vc_dec, vc_comp,
+                            str(b)], check=True)
+
+    # ---- 5b. full codec benchmark ----------------------------------------
+    eval_pairs = va  # held-out
+    out_dir = os.path.join(sweep_root, "eval_vs_backbone")
+    os.makedirs(out_dir, exist_ok=True)
+    peak_global = M.compute_global_peak([t for _, t, _ in eval_pairs])
+    ecfg = EvalConfig()
+
+    t0 = time.time()
+    dac24 = eval_backbone_codec(backbones["tactile"], cfg.dac, eval_pairs,
+                                peak_global, ecfg, n_q_list=(1, 2, 4, 8))
+    proposed_rows = eval_proposed_runs(sweep_root, cfg, backbones, eval_pairs,
+                                       peak_global, ecfg)
+    vc_rows = []
+    if os.path.isdir(vc_dec):
+        vc_rows = eval_vc_pwq(vc_dec, vc_comp, tact_dir, peak_global, ecfg,
+                              b_list=(8, 24, 48))
+    combined = {
+        "dac_24khz": dac24,
+        "proposed_runs": proposed_rows,
+        "vc_pwq_runs": vc_rows,
+        "config": {
+            "eval_sr": ecfg.eval_sr, "peak_global_raw": peak_global,
+            "n_pairs": len(eval_pairs), "synthetic_corpus": True,
+        },
+    }
+    with open(os.path.join(out_dir,
+                           "eval_all_vs_backbone_rawPSNR_latency.json"), "w") as f:
+        json.dump(combined, f, indent=2)
+    plots.rate_distortion_plots(dac24, proposed_rows, vc_rows, out_dir)
+    print(f"[demo] codec eval in {time.time()-t0:.0f}s", flush=True)
+
+    # ---- 5c. PLC eval ------------------------------------------------------
+    plc_template = plc_model.plc_head_init(jax.random.key(0), cfg)
+    plc_head, _, _ = ckpt.load_checkpoint_tolerant(
+        os.path.join(plc_dir, "best.msgpack"), plc_template)
+    plc_params = allpred_ar.CodecParams(backbones["audio"],
+                                        backbones["tactile"], plc_head)
+    t0 = time.time()
+    plc_summary = eval_plc_uniform(plc_params, cfg, eval_pairs, plc_dir,
+                                   PLCConfig(), ecfg, seed=args.seed)
+    print(f"[demo] PLC eval in {time.time()-t0:.0f}s", flush=True)
+
+    # ---- summary -----------------------------------------------------------
+    print("\n===== DEMO SUMMARY =====")
+    for r in sorted(proposed_rows, key=lambda x: x["kbps"]):
+        print(f"  proposed {r['run']}: {r['kbps']:.2f} kbps | "
+              f"PSNR {r['psnr_mean']:.2f} dB | ST-SIM {r['stsim_mean']:.4f} | "
+              f"enc {r['encoding_delay_ms']:.2f} ms")
+    for q, d in sorted(dac24.items(), key=lambda kv: kv[1]["kbps"]):
+        print(f"  backbone n_q={q}: {d['kbps']:.2f} kbps | "
+              f"PSNR {d['psnr_mean']:.2f} dB | ST-SIM {d['stsim_mean']:.4f}")
+    for r in vc_rows:
+        print(f"  vcpwq b={r['b']}: {r['kbps']:.2f} kbps | "
+              f"PSNR {r['psnr_mean']:.2f} dB | ST-SIM {r['stsim_mean']:.4f}")
+    print(f"  PLC: PSNR {plc_summary['mean_psnr_global_db']:.2f} dB | "
+          f"ST-SIM {plc_summary['mean_stsim_global']:.4f}")
+    print(f"[demo] total {time.time()-t_start:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
