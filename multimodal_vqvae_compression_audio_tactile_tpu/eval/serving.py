@@ -1,0 +1,105 @@
+"""Batched streaming serving path.
+
+The north star calls for batched streaming encode/decode at speed-of-light conv+VQ
+throughput on a single chip (BASELINE.json). This module wraps the flagship codec
+as two persistent jitted programs over a fixed [batch, 1, frame] shape — one frame
+is one second of signal (75 latent tokens), the codec's natural streaming unit
+(buffer delay 1000/75 = 13.33 ms is set by the backbone hop, not by this wrapper).
+
+Throughput is measured in frames/sec/chip; ``bench.py`` reports the single-stream
+latency and this module's batched throughput.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import CodecConfig
+from ..models import allpred_ar, dac
+
+
+class StreamingCodec:
+    """Persistent compiled encode/decode over fixed batched shapes."""
+
+    def __init__(self, params: allpred_ar.CodecParams, cfg: CodecConfig,
+                 batch: int, frame_sec: float = 1.0,
+                 n_books_use: Optional[int] = None,
+                 compute_dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.batch = batch
+        self.frame = int(frame_sec * cfg.dac.sample_rate)
+        self.n_books_use = n_books_use or cfg.rvq.n_books
+        self.compute_dtype = compute_dtype
+
+        cdt = compute_dtype
+
+        @jax.jit
+        def _encode(a, tc):
+            z_run, codes = allpred_ar.encode_latents(
+                params, cfg, a.astype(cdt), tc.astype(cdt),
+                n_books_use=self.n_books_use)
+            return z_run, codes
+
+        @jax.jit
+        def _decode(z_run):
+            return dac.decode(params.tactile_dac, cfg.dac,
+                              z_run.astype(cdt)).astype(jnp.float32)
+
+        @jax.jit
+        def _decode_codes(a, codes):
+            # true receiver path: audio + transmitted indices, no tactile input
+            return allpred_ar.decode_from_codes(
+                params, cfg, a.astype(cdt), codes).astype(jnp.float32)
+
+        self._encode = _encode
+        self._decode = _decode
+        self._decode_codes = _decode_codes
+        # warmup/compile
+        a = jnp.zeros((batch, 1, self.frame), jnp.float32)
+        t = jnp.zeros((batch, 1, self.frame), jnp.float32)
+        z, _ = self._encode(a, t)
+        jax.block_until_ready(self._decode(z))
+
+    def encode(self, a, tc):
+        """[batch, 1, frame] float32 -> (latents, codes[batch, T, books])."""
+        return self._encode(a, tc)
+
+    def decode(self, z_run):
+        return self._decode(z_run)
+
+    def decode_from_codes(self, a, codes):
+        """Receiver-side: audio [B,1,T] + codes [B,T_lat,n] -> tactile [B,1,T]."""
+        return self._decode_codes(a, codes)
+
+    def throughput_frames_per_sec(self, repeats: int = 20) -> dict:
+        """Sustained batched frames/sec/chip for encode and decode."""
+        a = jnp.zeros((self.batch, 1, self.frame), jnp.float32)
+        t = jnp.zeros((self.batch, 1, self.frame), jnp.float32)
+        z, _ = self._encode(a, t)
+        jax.block_until_ready(z)
+
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            z, codes = self._encode(a, t)
+        jax.block_until_ready(z)
+        enc_dt = (time.perf_counter() - t0) / repeats
+
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            y = self._decode(z)
+        jax.block_until_ready(y)
+        dec_dt = (time.perf_counter() - t0) / repeats
+
+        return {
+            "batch": self.batch,
+            "encode_frames_per_sec": self.batch / enc_dt,
+            "decode_frames_per_sec": self.batch / dec_dt,
+            "encode_ms_per_batch": enc_dt * 1000.0,
+            "decode_ms_per_batch": dec_dt * 1000.0,
+        }

@@ -226,3 +226,50 @@ def forward_eval(params: CodecParams, cfg: CodecConfig, a: jax.Array,
     (reference ``ProposedEval.forward_eval``)."""
     z_run, _ = encode_latents(params, cfg, a, tc, n_books_use=n_books_use)
     return dac.decode(params.tactile_dac, cfg.dac, z_run)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def decode_from_codes(params: CodecParams, cfg: CodecConfig, a: jax.Array,
+                      codes: jax.Array) -> jax.Array:
+    """Receiver-side decode: audio waveform + transmitted code indices -> tactile.
+
+    The receiver replays the same AR predictor on the audio latents it already
+    has, dequantizes the transmitted residual codes, and reconstructs
+    ``z_hat = z_pred + up(q)`` — no tactile input needed. This is the true
+    transmission decode the reference implies but never materializes (its eval
+    decodes from the encoder-side z_run, Evaluation/dac_vcpwq_proposed6_latency.py:480-487).
+
+    a: [B, 1, T_wav]; codes: [B, T_lat, n_use] int32.
+    """
+    from ..ops.rvq import rvq_decode
+
+    za = dac.encode(params.audio_dac, cfg.dac, a)
+    qa, *_ = dac.quantize(params.audio_dac["quantizer"], za)
+    head = params.head
+    B, C, Tlat = qa.shape
+    Tlat = min(Tlat, codes.shape[1])
+    chunk = cfg.ar_chunk_tok
+    n_chunks = -(-Tlat // chunk)
+    Tp = n_chunks * chunk
+
+    qa_p = jnp.pad(qa[..., :Tlat], ((0, 0), (0, 0), (0, Tp - Tlat)))
+    codes_p = jnp.pad(codes[:, :Tlat], ((0, 0), (0, Tp - Tlat), (0, 0)))
+    valid = (jnp.arange(Tp) < Tlat).reshape(n_chunks, chunk)
+    qa_ch = jnp.transpose(qa_p.reshape(B, C, n_chunks, chunk), (2, 0, 1, 3))
+    codes_ch = jnp.transpose(codes_p.reshape(B, n_chunks, chunk, -1),
+                             (1, 0, 2, 3))
+
+    def body(carry, inputs):
+        qa_c, codes_c, valid_c = inputs
+        zt_prev = jnp.concatenate(
+            [carry, jnp.zeros((B, C, chunk - 1), qa_c.dtype)], axis=-1)
+        z_pred = cross_predictor_apply(head["predict"], zt_prev, qa_c,
+                                       cfg.predictor, kv_valid=valid_c)
+        qD = rvq_decode(head["vq_books"], codes_c).astype(z_pred.dtype)
+        z_hat = z_pred + _proj(head["proj_up"], qD)
+        return z_hat[..., -1:], z_hat
+
+    _, z_hats = jax.lax.scan(body, jnp.zeros((B, C, 1), qa.dtype),
+                             (qa_ch, codes_ch, valid))
+    z_run = jnp.transpose(z_hats, (1, 2, 0, 3)).reshape(B, C, Tp)[..., :Tlat]
+    return dac.decode(params.tactile_dac, cfg.dac, z_run)

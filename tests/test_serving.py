@@ -1,0 +1,60 @@
+"""Serving path tests: receiver-side decode parity, streaming wrapper."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_vqvae_compression_audio_tactile_tpu.models import allpred_ar
+
+from test_allpred_ar import tiny_codec_cfg
+
+CFG = tiny_codec_cfg()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = allpred_ar.codec_init(jax.random.key(0), CFG)
+    rng = np.random.default_rng(7)
+    a = jnp.asarray((0.5 * rng.standard_normal((2, 1, 3200))).astype(np.float32))
+    tc = jnp.asarray((0.5 * rng.standard_normal((2, 1, 3200))).astype(np.float32))
+    return params, a, tc
+
+
+class TestReceiverDecode:
+    def test_codes_only_decode_matches_encoder_side(self, setup):
+        """decode_from_codes(audio, codes) must reproduce forward_eval exactly:
+        the receiver replays the same predictor and dequantizes the same codes."""
+        params, a, tc = setup
+        z_run, codes = allpred_ar.encode_latents(params, CFG, a, tc)
+        y_enc_side = allpred_ar.forward_eval(params, CFG, a, tc)
+        y_rx = allpred_ar.decode_from_codes(params, CFG, a, codes)
+        np.testing.assert_allclose(np.asarray(y_rx), np.asarray(y_enc_side),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_codes_are_the_only_tactile_channel(self, setup):
+        """Different tactile input but identical codes => identical output."""
+        params, a, tc = setup
+        _, codes = allpred_ar.encode_latents(params, CFG, a, tc)
+        y1 = allpred_ar.decode_from_codes(params, CFG, a, codes)
+        y2 = allpred_ar.decode_from_codes(params, CFG, a, codes)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+class TestStreamingCodec:
+    def test_wrapper_roundtrip_and_throughput(self, setup):
+        from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving import (
+            StreamingCodec)
+        params, a, tc = setup
+        sc = StreamingCodec(params, CFG, batch=2, frame_sec=3200 / 24000,
+                            compute_dtype=jnp.float32)
+        z, codes = sc.encode(np.asarray(a), np.asarray(tc))
+        y = sc.decode(z)
+        assert y.shape[0] == 2 and bool(jnp.isfinite(y).all())
+        y_rx = sc.decode_from_codes(np.asarray(a), codes)
+        np.testing.assert_allclose(np.asarray(y_rx), np.asarray(y),
+                                   rtol=1e-3, atol=1e-3)
+        stats = sc.throughput_frames_per_sec(repeats=3)
+        assert stats["encode_frames_per_sec"] > 0
+        assert stats["decode_frames_per_sec"] > 0
