@@ -44,8 +44,10 @@ def eval_plc_file(
     mask_fn: Callable[[int], np.ndarray],
     peak_global: float,
     ecfg: EvalConfig = EvalConfig(),
+    return_signals: bool = False,
 ) -> dict:
-    """One file through the PLC model with a deterministic mask; returns CSV row."""
+    """One file through the PLC model with a deterministic mask; returns CSV row
+    (plus aligned signals and the mask when return_signals=True, for pass 2)."""
     sr24 = cfg.dac.sample_rate
     a_raw, sr_a = load_wav_mono(a_path)
     t_raw, sr_t = load_wav_mono(t_path)
@@ -77,7 +79,10 @@ def eval_plc_file(
 
     ref_vec, est_vec = r_a[0], e_a[0]
     sm = M.token_mask_to_sample_mask(latent_mask, ref_vec.shape[0])
+    extras = ({"_ref": ref_vec, "_est": est_vec, "_mask": latent_mask}
+              if return_signals else {})
     return {
+        **extras,
         "stem": os.path.splitext(os.path.basename(t_path))[0],
         "len_samples": int(ref_vec.shape[0]),
         "psnr_global_db": psnr_global,
@@ -101,9 +106,13 @@ def eval_plc_uniform(
     pcfg: PLCConfig = PLCConfig(),
     ecfg: EvalConfig = EvalConfig(),
     seed: int = 7,
+    plot_top_k: int = 0,
     log: Callable = print,
 ) -> dict:
-    """Pass 1 of the reference evaluator over all pairs; writes CSV + summary JSON."""
+    """Two-pass reference evaluator: (1) metrics over all pairs -> CSV + summary
+    JSON; (2) with plot_top_k > 0, re-run the top-K files (by PSNR union ST-SIM)
+    with identical reseeded masks and write waveform/mel figures
+    (reference: PLC/PLC1_eval.py:779-926)."""
     os.makedirs(out_dir, exist_ok=True)
     peak_global = M.compute_global_peak([t for _, t, _ in pairs])
     base_seed = seed * 1000  # reference BASE_SEED = SEED * 1000
@@ -139,4 +148,22 @@ def eval_plc_uniform(
         "peak_global": peak_global,
     }
     artifacts.write_json(os.path.join(out_dir, "eval_summary.json"), summary)
+
+    if plot_top_k > 0:
+        from .plots import plot_plc_example, select_top_k
+
+        best = select_top_k(rows, plot_top_k)
+        for idx, (ap, tp, stem) in enumerate(pairs, start=1):
+            if stem not in best:
+                continue
+
+            def mask_fn(t_lat, idx=idx):
+                rng = np.random.default_rng(masks.eval_mask_seed(base_seed, idx))
+                return masks.make_token_loss_mask(
+                    rng, 1, t_lat, pcfg.packet_tok, pcfg.packet_loss_prob)[0]
+
+            row = eval_plc_file(params, cfg, ap, tp, mask_fn, peak_global, ecfg,
+                                return_signals=True)
+            plot_plc_example(out_dir, stem, row["_ref"], row["_est"],
+                             row["_mask"], sr=ecfg.eval_sr)
     return summary

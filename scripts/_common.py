@@ -11,13 +11,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def setup_jax(cpu: bool = False, virtual_devices: int = 0) -> None:
     """Must run before the first jax import."""
-    if cpu:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
     if virtual_devices:
         flags = os.environ.get("XLA_FLAGS", "")
         os.environ["XLA_FLAGS"] = (
             f"{flags} --xla_force_host_platform_device_count={virtual_devices}"
         ).strip()
+    if cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        # the machine's sitecustomize registers a TPU plugin and selects it
+        # regardless of the env var; force the selection post-import
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
 
 def default_backbones(cfg, backbone_ckpt: str | None, seed: int = 7):

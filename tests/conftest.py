@@ -7,7 +7,10 @@ must be set before the first jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: the machine environment presets JAX_PLATFORMS=axon (the tunneled
+# TPU), so a setdefault would silently run every test on the real chip through
+# the remote compiler.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +18,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 # persistent compilation cache: repeat test runs skip XLA recompiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+
+# the machine's sitecustomize registers the axon TPU plugin and selects it
+# regardless of the env var; force the selection back to cpu post-import
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

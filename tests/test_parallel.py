@@ -1,0 +1,98 @@
+"""Multi-device data parallelism on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_vqvae_compression_audio_tactile_tpu.core.config import TrainConfig
+from multimodal_vqvae_compression_audio_tactile_tpu.models import allpred_ar
+from multimodal_vqvae_compression_audio_tactile_tpu.parallel import mesh as pm
+from multimodal_vqvae_compression_audio_tactile_tpu.train import loop as tl
+
+from test_allpred_ar import tiny_codec_cfg
+
+CFG = tiny_codec_cfg()
+
+
+@pytest.fixture(scope="module")
+def everything():
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    params = allpred_ar.codec_init(jax.random.key(0), CFG)
+    backbones = {"audio": params.audio_dac, "tactile": params.tactile_dac}
+    tcfg = TrainConfig(epochs=2, batch=8, seg_sec=3200 / 24000)
+    tx = tl.make_optimizer(params.head, tcfg, steps_per_epoch=1)
+    rng = np.random.default_rng(7)
+    a = (0.3 * rng.standard_normal((8, 1, 3200))).astype(np.float32)
+    tc = (0.3 * rng.standard_normal((8, 1, 3200))).astype(np.float32)
+    return params, backbones, tcfg, tx, a, tc
+
+
+class TestMesh:
+    def test_create_mesh_shapes(self):
+        mesh = pm.create_mesh()
+        assert mesh.shape == {"data": 8, "model": 1}
+        mesh2 = pm.create_mesh(data=4, model=2)
+        assert mesh2.shape == {"data": 4, "model": 2}
+
+    def test_batch_sharded_over_devices(self):
+        mesh = pm.create_mesh()
+        x = np.zeros((8, 4), np.float32)
+        xs = pm.shard_batch(mesh, x)
+        assert len(xs.sharding.device_set) == 8
+        # each device holds one row
+        shard_shapes = {s.data.shape for s in xs.addressable_shards}
+        assert shard_shapes == {(1, 4)}
+
+    def test_pad_batch_to_multiple(self):
+        x = np.arange(10, dtype=np.float32).reshape(5, 2)
+        padded, n = pm.pad_batch_to_multiple(x, 4)
+        assert n == 5
+        assert padded.shape == (8, 2)
+        np.testing.assert_array_equal(padded[5:], np.tile(x[-1:], (3, 1)))
+
+
+class TestShardedTraining:
+    def test_sharded_step_runs_and_is_finite(self, everything):
+        params, backbones, tcfg, tx, a, tc = everything
+        mesh = pm.create_mesh()
+        train_step, _ = tl.make_train_step(CFG, tcfg, tx)
+        head = jax.tree.map(jnp.array, params.head)  # train step donates state
+        state = tl.TrainState(head, tx.init(head), jnp.zeros((), jnp.int32))
+        state = tl.TrainState(*pm.shard_replicated(mesh, tuple(state)))
+        bb = pm.shard_replicated(mesh, backbones)
+        am, tm = pm.shard_batch(mesh, (a, tc))
+        state, parts = train_step(state, bb, am, tm, jax.random.key(1),
+                                  do_ema=True)
+        assert np.isfinite(float(parts["total"]))
+
+    def test_sharded_matches_single_device(self, everything):
+        """Data parallelism must be semantically invisible: the same global
+        batch gives the same update on 1 device and on 8."""
+        params, backbones, tcfg, tx, a, tc = everything
+        train_step, _ = tl.make_train_step(CFG, tcfg, tx)
+
+        def run(mesh):
+            # the train step donates its state: give each run a fresh copy
+            head = jax.tree.map(jnp.array, params.head)
+            state = tl.TrainState(head, tx.init(head),
+                                  jnp.zeros((), jnp.int32))
+            if mesh is not None:
+                state = tl.TrainState(*pm.shard_replicated(mesh, tuple(state)))
+                bb = pm.shard_replicated(mesh, backbones)
+                am, tm = pm.shard_batch(mesh, (a, tc))
+            else:
+                bb, am, tm = backbones, jnp.asarray(a), jnp.asarray(tc)
+            new_state, parts = train_step(state, bb, am, tm, None, do_ema=True)
+            return new_state, parts
+
+        s1, p1 = run(None)
+        s8, p8 = run(pm.create_mesh())
+        assert float(p1["total"]) == pytest.approx(float(p8["total"]), rel=1e-5)
+        l1 = jax.tree.leaves(s1.head)
+        l8 = jax.tree.leaves(s8.head)
+        for x1, x8 in zip(l1, l8):
+            # cross-device psum reassociates the reduction: tiny float drift
+            np.testing.assert_allclose(np.asarray(x1), np.asarray(x8),
+                                       rtol=1e-3, atol=1e-4)
