@@ -33,8 +33,16 @@ def evaluate_proposed_model(
     peak_global: float,
     books_use: Optional[int] = None,
     ecfg: EvalConfig = EvalConfig(),
+    protocol: str = "raw",
 ) -> dict:
-    """Per-file raw-PSNR protocol over one trained codec; returns metric row."""
+    """Per-file PSNR protocol over one trained codec; returns metric row.
+
+    protocol="raw": global-peak PSNR at the original SR
+    (Evaluation/dac_vcpwq_proposed6_latency.py:204-226). protocol="3k": align at
+    24 kHz, downsample to 3 kHz, peak=1.0
+    (Evaluation/compare_dacvsproposal_5_eval.py:212-223). The two differ by
+    ~10 dB on the same models — rows carry a ``psnr_protocol`` label.
+    """
     books_use = books_use or cfg.rvq.n_books
     sr24 = cfg.dac.sample_rate
 
@@ -58,12 +66,24 @@ def evaluate_proposed_model(
             jnp.asarray(t24[None, :, :L]), n_books_use=books_use))[0]
         est = np.asarray(resample(jnp.asarray(y24 * scale), sr24, sr_t))
 
-        psnr, r_a, e_a = M.align_and_psnr_raw(t_raw, est, peak_global,
-                                              ecfg.max_align_shift)
-        ps_vals.append(psnr)
-        r24 = np.asarray(resample(jnp.asarray(r_a), sr_t, ecfg.eval_sr))
-        e24 = np.asarray(resample(jnp.asarray(e_a), sr_t, ecfg.eval_sr))
-        st_vals.append(M.stsim_batch(r24[None], e24[None])[0])
+        if protocol == "3k":
+            # reference [3K]: metrics on the 24 kHz signals, unit-scale domain
+            t24_ref = np.asarray(resample(jnp.asarray(t_raw / scale), sr_t,
+                                          ecfg.eval_sr))
+            Lm = min(t24_ref.shape[-1], y24.shape[-1])
+            ps_vals.append(M.psnr_3k_aligned_batch(
+                t24_ref[None, :, :Lm], y24[None, :, :Lm],
+                eval_sr=ecfg.eval_sr, orig_sr=ecfg.orig_tactile_sr,
+                max_shift=ecfg.max_align_shift)[0])
+            st_vals.append(M.stsim_batch(t24_ref[None, :, :Lm],
+                                         y24[None, :, :Lm])[0])
+        else:
+            psnr, r_a, e_a = M.align_and_psnr_raw(t_raw, est, peak_global,
+                                                  ecfg.max_align_shift)
+            ps_vals.append(psnr)
+            r24 = np.asarray(resample(jnp.asarray(r_a), sr_t, ecfg.eval_sr))
+            e24 = np.asarray(resample(jnp.asarray(e_a), sr_t, ecfg.eval_sr))
+            st_vals.append(M.stsim_batch(r24[None], e24[None])[0])
 
     st_m, st_ci = M.mean_ci95(st_vals)
     ps_m, ps_ci = M.mean_ci95(ps_vals)
@@ -71,6 +91,7 @@ def evaluate_proposed_model(
     bits = math.log2(cfg.rvq.n_embed)
     kbps = tps * books_use * bits / 1000.0
     return {
+        "psnr_protocol": protocol,
         "books": books_use, "embed": cfg.rvq.n_embed,
         "bits_per_code": bits, "tps": tps, "kbps": kbps,
         "compression_ratio": ecfg.pcm_kbps_baseline / kbps if kbps else None,
@@ -91,6 +112,7 @@ def eval_proposed_runs(
     peak_global: float,
     ecfg: EvalConfig = EvalConfig(),
     checkpoint_name: str = "best.msgpack",
+    protocol: str = "raw",
     log: Callable = print,
 ) -> list[dict]:
     """Discover ``rvqB*_K*`` runs under sweep_root and evaluate each
@@ -115,6 +137,7 @@ def eval_proposed_runs(
                                         head)
         log(f"[proposed] rvqB{books}_K{embed}")
         row = evaluate_proposed_model(params, cfg, pairs, peak_global,
-                                      books_use=books, ecfg=ecfg)
+                                      books_use=books, ecfg=ecfg,
+                                      protocol=protocol)
         results.append({"run": os.path.basename(run), "path": run, **row})
     return results

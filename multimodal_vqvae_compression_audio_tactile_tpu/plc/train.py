@@ -85,6 +85,7 @@ def train_plc(
     seed: int = 7,
     mesh=None,
     steps_per_epoch: Optional[int] = None,
+    save_every: int = 1,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Train a PLC head; writes last/best/hist/meta with the reference contract."""
@@ -103,7 +104,8 @@ def train_plc(
     state = PLCTrainState(head, tx.init(head), jnp.zeros((), jnp.int32))
     train_step, eval_step = make_plc_train_step(cfg, tcfg, tx)
 
-    if mesh is None and len(jax.devices()) > 1:
+    if mesh is None and len(jax.devices()) > 1 and \
+            tcfg.batch % len(jax.devices()) == 0:
         mesh = pmesh.create_mesh()
     put = (lambda b: pmesh.shard_batch(mesh, b)) if mesh is not None else (
         lambda b: jax.device_put(b))
@@ -114,6 +116,8 @@ def train_plc(
     t_lat = int(round(tcfg.seg_sec * cfg.dac.tokens_per_sec))
     tps = cfg.dac.tokens_per_sec
     best_val = float("inf")
+    best_head = None
+    best_epoch = 0
     hist = {"train": [], "val": []}
     mask_rng = np.random.default_rng(seed)
 
@@ -141,14 +145,18 @@ def train_plc(
         log(f"[plc:{mode}] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
             f"val {v:.4f} | {time.time()-t0:.1f}s")
 
-        ckpt.save_checkpoint(os.path.join(out_dir, "last.msgpack"),
-                             state.head, ep, hist)
+        if ep % save_every == 0 or ep == tcfg.epochs:
+            ckpt.save_checkpoint(os.path.join(out_dir, "last.msgpack"),
+                                 state.head, ep, hist)
         if v + 1e-6 < best_val and ep > tcfg.best_after_epoch:
             best_val = v
-            ckpt.save_checkpoint(os.path.join(out_dir, "best.msgpack"),
-                                 state.head, ep, hist)
-            log("saved best")
+            best_epoch = ep
+            best_head = jax.tree.map(jnp.array, state.head)
+            log("new best")
 
+    if best_head is not None:
+        ckpt.save_checkpoint(os.path.join(out_dir, "best.msgpack"),
+                             best_head, best_epoch, hist)
     artifacts.write_meta(out_dir, {
         "mode": mode,
         "plc": asdict_jsonable(pcfg),

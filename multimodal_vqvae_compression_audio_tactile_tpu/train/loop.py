@@ -126,6 +126,8 @@ def train_codec(
     seed: int = 7,
     mesh=None,
     steps_per_epoch: Optional[int] = None,
+    save_every: int = 1,
+    resume: bool = False,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Full training run with the reference artifact contract.
@@ -138,13 +140,22 @@ def train_codec(
     key = jax.random.key(seed)
     head = allpred_ar.head_init(key, cfg)
 
+    start_epoch = 1
+    resumed_hist = None
+    last_path = os.path.join(out_dir, "last.msgpack")
+    if resume and os.path.exists(last_path):
+        head, last_epoch, resumed_hist = ckpt.load_checkpoint(last_path, head)
+        start_epoch = last_epoch + 1
+        log(f"[resume] from {last_path} at epoch {last_epoch}")
+
     if steps_per_epoch is None:
         steps_per_epoch = max(1, sum(1 for _ in train_batches(0)))
     tx = make_optimizer(head, tcfg, steps_per_epoch)
     state = TrainState(head, tx.init(head), jnp.zeros((), jnp.int32))
     train_step, eval_step = make_train_step(cfg, tcfg, tx)
 
-    if mesh is None and len(jax.devices()) > 1:
+    if mesh is None and len(jax.devices()) > 1 and \
+            tcfg.batch % len(jax.devices()) == 0:
         mesh = pmesh.create_mesh()
     put = (lambda b: pmesh.shard_batch(mesh, b)) if mesh is not None else (
         lambda b: jax.device_put(b))
@@ -153,9 +164,19 @@ def train_codec(
         backbones = pmesh.shard_replicated(mesh, backbones)
 
     best_val = float("inf")
+    best_head = None  # on-device until the final disk write (slow host links)
+    best_epoch = 0
     hist = {"train": [], "val": [], "l1": [], "stft": [], "mel": [], "ema": []}
+    if resumed_hist:
+        hist.update({k: list(v) for k, v in resumed_hist.items()})
+        if hist["val"]:
+            best_val = min(hist["val"])
+        # the LR schedule counts optimizer steps: fast-forward the counter
+        state = TrainState(state.head, state.opt_state,
+                           jnp.asarray((start_epoch - 1) * steps_per_epoch,
+                                       jnp.int32))
 
-    for ep in range(1, tcfg.epochs + 1):
+    for ep in range(start_epoch, tcfg.epochs + 1):
         t0 = time.time()
         sums = {"total": 0.0, "l1": 0.0, "stft": 0.0, "mel": 0.0}
         n = 0
@@ -187,14 +208,18 @@ def train_codec(
             f"L1 {hist['l1'][-1]:.4f} | STFT {hist['stft'][-1]:.4f} | "
             f"MEL {hist['mel'][-1]:.4f} | {time.time()-t0:.1f}s")
 
-        ckpt.save_checkpoint(os.path.join(out_dir, "last.msgpack"),
-                             state.head, ep, hist)
+        if ep % save_every == 0 or ep == tcfg.epochs:
+            ckpt.save_checkpoint(os.path.join(out_dir, "last.msgpack"),
+                                 state.head, ep, hist)
         if v + 1e-6 < best_val and ep > tcfg.best_after_epoch:
             best_val = v
-            ckpt.save_checkpoint(os.path.join(out_dir, "best.msgpack"),
-                                 state.head, ep, hist)
-            log("saved best")
+            best_epoch = ep
+            best_head = jax.tree.map(jnp.array, state.head)  # device-side copy
+            log("new best")
 
+    if best_head is not None:
+        ckpt.save_checkpoint(os.path.join(out_dir, "best.msgpack"),
+                             best_head, best_epoch, hist)
     artifacts.write_hist(out_dir, hist)
     artifacts.write_curves(out_dir, hist, title="AllPredAR A->T (TPU)")
     return hist

@@ -82,11 +82,15 @@ def pretrain_backbone(
     seed: int = 7,
     mesh=None,
     steps_per_epoch: int | None = None,
+    save_every: int = 1,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Train one backbone; batches yield waveforms [B, 1, T] (single modality).
 
-    Writes last/best checkpoints + hist.json. Returns history.
+    Writes last/best checkpoints + hist.json. Returns history. ``save_every``
+    throttles checkpointing: a full backbone is ~300 MB, and device->host pulls
+    can dominate the epoch on slow links (always saved on the final epoch; best
+    saved whenever validation improves by > 1%).
     """
     os.makedirs(out_dir, exist_ok=True)
     params = dac.dac_init(jax.random.key(seed), cfg)
@@ -103,7 +107,8 @@ def pretrain_backbone(
     state = PretrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     step_fn, eval_fn = make_pretrain_step(cfg, tcfg, tx)
 
-    if mesh is None and len(jax.devices()) > 1:
+    if mesh is None and len(jax.devices()) > 1 and \
+            tcfg.batch % len(jax.devices()) == 0:
         mesh = pmesh.create_mesh()
     put = (lambda b: pmesh.shard_batch(mesh, b)) if mesh is not None else (
         lambda b: jax.device_put(b))
@@ -111,6 +116,8 @@ def pretrain_backbone(
         state = PretrainState(*pmesh.shard_replicated(mesh, tuple(state)))
 
     best_val = float("inf")
+    best_params = None   # kept on device; written to disk at the end (device->
+    best_epoch = 0       # host pulls of a 300 MB model can cost minutes/save)
     hist = {"train": [], "val": []}
     for ep in range(1, tcfg.epochs + 1):
         t0 = time.time()
@@ -132,12 +139,16 @@ def pretrain_backbone(
         log(f"[pretrain] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
             f"val {v:.4f} | {time.time()-t0:.1f}s")
 
-        ckpt.save_checkpoint(os.path.join(out_dir, "last.msgpack"),
-                             state.params, ep, hist)
+        if ep % save_every == 0 or ep == tcfg.epochs:
+            ckpt.save_checkpoint(os.path.join(out_dir, "last.msgpack"),
+                                 state.params, ep, hist)
         if v < best_val:
             best_val = v
-            ckpt.save_checkpoint(os.path.join(out_dir, "best.msgpack"),
-                                 state.params, ep, hist)
+            best_epoch = ep
+            best_params = jax.tree.map(jnp.array, state.params)  # device copy
 
+    if best_params is not None:
+        ckpt.save_checkpoint(os.path.join(out_dir, "best.msgpack"),
+                             best_params, best_epoch, hist)
     artifacts.write_hist(out_dir, hist)
     return hist

@@ -115,7 +115,7 @@ def main() -> None:
             batch_iterator(ds_tr, args.batch, seed=args.seed, epoch=ep), 1),
         val_batches=lambda: wav_only(
             batch_iterator(ds_va, args.batch, shuffle=False, drop_last=False), 1),
-        out_dir=bb_dir, seed=args.seed)
+        out_dir=bb_dir, seed=args.seed, save_every=10)
     print(f"[demo] backbone pretrained in {time.time()-t0:.0f}s", flush=True)
 
     template = dac.dac_init(jax.random.key(0), cfg.dac)
@@ -138,7 +138,7 @@ def main() -> None:
                                                 seed=args.seed, epoch=ep),
         val_batches=lambda: batch_iterator(ds_va, args.batch, shuffle=False,
                                            drop_last=False),
-        out_root=sweep_root)
+        out_root=sweep_root, save_every=5)
     print(f"[demo] sweep trained in {time.time()-t0:.0f}s", flush=True)
 
     # ---- 4. PLC -----------------------------------------------------------
@@ -151,7 +151,7 @@ def main() -> None:
                                                       seed=args.seed, epoch=ep),
               val_batches=lambda: batch_iterator(ds_va, args.batch,
                                                  shuffle=False, drop_last=False),
-              out_dir=plc_dir, mode="uniform", seed=args.seed)
+              out_dir=plc_dir, mode="uniform", seed=args.seed, save_every=5)
     print(f"[demo] PLC trained in {time.time()-t0:.0f}s", flush=True)
 
     # ---- 5a. native VC-PWQ on the corpus ---------------------------------

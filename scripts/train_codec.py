@@ -28,6 +28,8 @@ def main() -> None:
                     help="generate N synthetic pairs instead of reading dirs")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true", help="tiny model (CPU testing)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from out-dir/last.msgpack")
     args = ap.parse_args()
     _common.setup_jax(cpu=args.cpu)
 
@@ -66,7 +68,7 @@ def main() -> None:
                                                 epoch=ep),
         val_batches=lambda: batch_iterator(ds_va, tcfg.batch, shuffle=False,
                                            drop_last=False),
-        out_dir=args.out_dir, seed=tcfg.seed)
+        out_dir=args.out_dir, seed=tcfg.seed, resume=args.resume)
 
 
 if __name__ == "__main__":
