@@ -1,21 +1,23 @@
-"""Benchmark: flagship codec serving latency on the local accelerator.
+"""Benchmark: flagship codec serving latency + throughput on the local accelerator.
 
-Prints ONE JSON line: encode latency (ms per 1 s of signal) of the AllPredAR
-codec at the 5.25 kbps operating point (rvqB10_K128), measured with the
-reference's protocol (3 warmups, mean of 10 block_until_ready-fenced repeats —
-Evaluation/dac_vcpwq_proposed6_latency.py:489-525).
+Prints ONE JSON line: encode latency (ms per 1 s of signal) of the AllPredAR codec
+at the 5.25 kbps operating point (rvqB10_K128), measured with the reference's
+protocol (3 warmups, mean of 10 block_until_ready-fenced repeats —
+Evaluation/dac_vcpwq_proposed6_latency.py:489-525). The reference times under CUDA
+AMP (autocast fp16, :512); the TPU equivalent is bf16 compute, which is what the
+StreamingCodec serving wrapper uses.
 
-Baseline: the reference GPU measures 15.40 ms encode for rvqB10_K128
-(BASELINE.md, proposed table). vs_baseline = baseline_ms / our_ms (>1 = faster).
+Baseline: the reference GPU measures 15.40 ms encode for rvqB10_K128 (BASELINE.md).
+vs_baseline = baseline_ms / our_ms (>1 = faster). Extras report decode latency and
+batched streaming throughput (frames/sec/chip, 1 frame = 1 s of signal).
 """
 
 from __future__ import annotations
 
 import json
 
-import numpy as np
-
 BASELINE_ENC_MS = 15.40  # reference rvqB10_K128 encoding_delay_ms
+BASELINE_DEC_MS = 2.75
 
 
 def main() -> None:
@@ -24,30 +26,40 @@ def main() -> None:
     from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
         CodecConfig, RVQConfig)
     from multimodal_vqvae_compression_audio_tactile_tpu.eval.latency import (
-        measure_codec_latency)
-    from multimodal_vqvae_compression_audio_tactile_tpu.models import (
-        allpred_ar, dac)
+        measure_ms)
+    from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving import (
+        StreamingCodec)
+    from multimodal_vqvae_compression_audio_tactile_tpu.models import allpred_ar
 
     cfg = CodecConfig(rvq=RVQConfig(n_books=10, n_embed=128))
     params = allpred_ar.codec_init(jax.random.key(7), cfg)
 
-    def encode_fn(a, t):
-        z_run, codes = allpred_ar.encode_latents(params, cfg, a, t,
-                                                 n_books_use=10)
-        return z_run
+    import jax.numpy as jnp
 
-    def decode_fn(z):
-        return dac.decode(params.tactile_dac, cfg.dac, z)
+    # single-stream latency (batch 1, bf16 compute like the reference's AMP)
+    sc1 = StreamingCodec(params, cfg, batch=1)
+    a = jnp.zeros((1, 1, sc1.frame), jnp.float32)
+    t = jnp.zeros((1, 1, sc1.frame), jnp.float32)
+    z, _ = sc1.encode(a, t)
+    enc_ms = measure_ms(lambda: sc1.encode(a, t), warmup=3, repeats=10)
+    dec_ms = measure_ms(lambda: sc1.decode(z), warmup=3, repeats=10)
 
-    enc_ms, dec_ms = measure_codec_latency(encode_fn, decode_fn,
-                                           sr_native=cfg.dac.sample_rate)
+    # batched streaming throughput
+    sc = StreamingCodec(params, cfg, batch=32)
+    tp = sc.throughput_frames_per_sec(repeats=10)
+
     print(json.dumps({
         "metric": "encode_ms_per_1s_signal",
         "value": round(enc_ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_ENC_MS / enc_ms, 3),
-        "extra": {"decode_ms": round(dec_ms, 3),
-                  "backend": jax.default_backend()},
+        "extra": {
+            "decode_ms": round(dec_ms, 3),
+            "decode_vs_baseline": round(BASELINE_DEC_MS / dec_ms, 3),
+            "encode_frames_per_sec_b32": round(tp["encode_frames_per_sec"], 1),
+            "decode_frames_per_sec_b32": round(tp["decode_frames_per_sec"], 1),
+            "backend": jax.default_backend(),
+        },
     }))
 
 

@@ -49,7 +49,9 @@ def make_plc_train_step(cfg: CodecConfig, tcfg: TrainConfig,
         return total, parts
 
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: PLCTrainState, backbones, a, tc, mask, rng):
+    def train_step(state: PLCTrainState, backbones, a, tc, mask, base_rng):
+        rng = (jax.random.fold_in(base_rng, state.step)
+               if base_rng is not None else None)
         (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.head, backbones, a, tc, mask, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.head)
@@ -121,26 +123,25 @@ def train_plc(
     hist = {"train": [], "val": []}
     mask_rng = np.random.default_rng(seed)
 
+    base_rng = jax.random.key(seed + 1)
     for ep in range(1, tcfg.epochs + 1):
         t0 = time.time()
-        s, n = 0.0, 0
+        step_parts = []  # pulled to host once per epoch (tunnel-friendly)
         for a, tc in train_batches(ep):
             mask = _make_mask(mask_rng, a.shape[0], t_lat, pcfg, mode, tps)
             a, tc, mask = put((a, tc, mask))
-            rng = jax.random.fold_in(jax.random.key(seed + 1), int(state.step))
-            state, parts = train_step(state, backbones, a, tc, mask, rng)
-            s += float(parts["total"])
-            n += 1
-        hist["train"].append(s / max(1, n))
+            state, parts = train_step(state, backbones, a, tc, mask, base_rng)
+            step_parts.append(parts["total"])
+        hist["train"].append(
+            float(sum(np.asarray(p) for p in step_parts)) / max(1, len(step_parts)))
 
         val_rng = np.random.default_rng(seed + 999)  # fixed masks across epochs
-        vs, vm = 0.0, 0
+        val_parts = []
         for a, tc in val_batches():
             mask = _make_mask(val_rng, a.shape[0], t_lat, pcfg, mode, tps)
             a, tc, mask = put((a, tc, mask))
-            vs += float(eval_step(state.head, backbones, a, tc, mask)["total"])
-            vm += 1
-        v = vs / max(1, vm)
+            val_parts.append(eval_step(state.head, backbones, a, tc, mask)["total"])
+        v = float(sum(np.asarray(p) for p in val_parts)) / max(1, len(val_parts))
         hist["val"].append(v)
         log(f"[plc:{mode}] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
             f"val {v:.4f} | {time.time()-t0:.1f}s")

@@ -93,19 +93,26 @@ def make_train_step(cfg: CodecConfig, tcfg: TrainConfig,
                                   sr=tcfg.target_sr)
         return total, (parts, out["r_tokens"], out["valid"])
 
-    @partial(jax.jit, static_argnames=("do_ema",), donate_argnums=(0,))
-    def train_step(state: TrainState, backbones: dict, a, tc, rng,
-                   do_ema: bool = False):
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, backbones: dict, a, tc, base_rng,
+                   do_ema=False):
+        # per-step dropout key derived ON DEVICE: a host-side fold_in would
+        # block on a device->host read of state.step every step (seconds over
+        # a tunneled TPU)
+        rng = (jax.random.fold_in(base_rng, state.step)
+               if base_rng is not None else None)
         (total, (parts, r_tokens, valid)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.head, backbones, a, tc, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.head)
         head = optax.apply_updates(state.head, updates)
-        if do_ema:
-            books = ema_update(head["vq_books"], r_tokens,
-                               valid=jnp.broadcast_to(valid[None],
-                                                      r_tokens.shape[::2]),
-                               decay=decay)
-            head = {**head, "vq_books": books}
+        # do_ema is traced (EMA is cheap): one compiled program covers the
+        # warmup and post-warmup epochs instead of two multi-minute compiles
+        books = ema_update(jnp.array(head["vq_books"]), r_tokens,
+                           valid=jnp.broadcast_to(valid[None],
+                                                  r_tokens.shape[::2]),
+                           decay=decay)
+        books = jnp.where(jnp.asarray(do_ema), books, head["vq_books"])
+        head = {**head, "vq_books": books}
         return TrainState(head, opt_state, state.step + 1), parts
 
     @jax.jit
@@ -176,32 +183,32 @@ def train_codec(
                            jnp.asarray((start_epoch - 1) * steps_per_epoch,
                                        jnp.int32))
 
+    base_rng = jax.random.key(seed + 1)
     for ep in range(start_epoch, tcfg.epochs + 1):
         t0 = time.time()
-        sums = {"total": 0.0, "l1": 0.0, "stft": 0.0, "mel": 0.0}
-        n = 0
+        step_parts = []  # device arrays; pulled to host ONCE per epoch
         do_ema = ep > cfg.rvq.ema_warm_epochs
         for a, tc in train_batches(ep):
             a, tc = put((a, tc))
-            rng = jax.random.fold_in(jax.random.key(seed + 1), int(state.step))
-            state, parts = train_step(state, backbones, a, tc, rng, do_ema=do_ema)
-            for k in sums:
-                sums[k] += float(parts[k])
-            n += 1
-        n = max(1, n)
-        hist["train"].append(sums["total"] / n)
-        hist["l1"].append(sums["l1"] / n)
-        hist["stft"].append(sums["stft"] / n)
-        hist["mel"].append(sums["mel"] / n)
+            state, parts = train_step(state, backbones, a, tc, base_rng,
+                                      do_ema=do_ema)
+            step_parts.append(parts)
+        n = max(1, len(step_parts))
+        sums = {k: float(sum(np.asarray(p[k]) for p in step_parts)) / n
+                for k in ("total", "l1", "stft", "mel")} if step_parts else {
+                    "total": 0.0, "l1": 0.0, "stft": 0.0, "mel": 0.0}
+        hist["train"].append(sums["total"])
+        hist["l1"].append(sums["l1"])
+        hist["stft"].append(sums["stft"])
+        hist["mel"].append(sums["mel"])
         hist["ema"].append(1.0 if do_ema else 0.0)
 
-        vs, vm = 0.0, 0
+        val_parts = []
         for a, tc in val_batches():
             a, tc = put((a, tc))
-            parts = eval_step(state.head, backbones, a, tc)
-            vs += float(parts["total"])
-            vm += 1
-        v = vs / max(1, vm)
+            val_parts.append(eval_step(state.head, backbones, a, tc))
+        v = (float(sum(np.asarray(p["total"]) for p in val_parts))
+             / max(1, len(val_parts)))
         hist["val"].append(v)
 
         log(f"Epoch {ep:03d} | train {hist['train'][-1]:.4f} | val {v:.4f} | "

@@ -121,20 +121,19 @@ def pretrain_backbone(
     hist = {"train": [], "val": []}
     for ep in range(1, tcfg.epochs + 1):
         t0 = time.time()
-        s, n = 0.0, 0
+        step_parts = []  # pulled to host once per epoch (tunnel-friendly)
         for x in train_batches(ep):
             x = put(x)
             state, parts = step_fn(state, x, None)
-            s += float(parts["total"])
-            n += 1
-        hist["train"].append(s / max(1, n))
+            step_parts.append(parts["total"])
+        hist["train"].append(
+            float(sum(np.asarray(p) for p in step_parts)) / max(1, len(step_parts)))
 
-        vs, vm = 0.0, 0
+        val_parts = []
         for x in val_batches():
             x = put(x)
-            vs += float(eval_fn(state.params, x)["total"])
-            vm += 1
-        v = vs / max(1, vm)
+            val_parts.append(eval_fn(state.params, x)["total"])
+        v = float(sum(np.asarray(p) for p in val_parts)) / max(1, len(val_parts))
         hist["val"].append(v)
         log(f"[pretrain] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
             f"val {v:.4f} | {time.time()-t0:.1f}s")
