@@ -133,7 +133,7 @@ def train_plc(
             state, parts = train_step(state, backbones, a, tc, mask, base_rng)
             step_parts.append(parts["total"])
         hist["train"].append(
-            float(sum(np.asarray(p) for p in step_parts)) / max(1, len(step_parts)))
+            float(sum(jax.device_get(step_parts))) / max(1, len(step_parts)))
 
         val_rng = np.random.default_rng(seed + 999)  # fixed masks across epochs
         val_parts = []
@@ -141,7 +141,7 @@ def train_plc(
             mask = _make_mask(val_rng, a.shape[0], t_lat, pcfg, mode, tps)
             a, tc, mask = put((a, tc, mask))
             val_parts.append(eval_step(state.head, backbones, a, tc, mask)["total"])
-        v = float(sum(np.asarray(p) for p in val_parts)) / max(1, len(val_parts))
+        v = float(sum(jax.device_get(val_parts))) / max(1, len(val_parts))
         hist["val"].append(v)
         log(f"[plc:{mode}] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
             f"val {v:.4f} | {time.time()-t0:.1f}s")

@@ -194,8 +194,9 @@ def train_codec(
                                       do_ema=do_ema)
             step_parts.append(parts)
         n = max(1, len(step_parts))
-        sums = {k: float(sum(np.asarray(p[k]) for p in step_parts)) / n
-                for k in ("total", "l1", "stft", "mel")} if step_parts else {
+        host_parts = jax.device_get(step_parts)  # ONE transfer for the epoch
+        sums = {k: float(sum(p[k] for p in host_parts)) / n
+                for k in ("total", "l1", "stft", "mel")} if host_parts else {
                     "total": 0.0, "l1": 0.0, "stft": 0.0, "mel": 0.0}
         hist["train"].append(sums["total"])
         hist["l1"].append(sums["l1"])
@@ -203,12 +204,10 @@ def train_codec(
         hist["mel"].append(sums["mel"])
         hist["ema"].append(1.0 if do_ema else 0.0)
 
-        val_parts = []
-        for a, tc in val_batches():
-            a, tc = put((a, tc))
-            val_parts.append(eval_step(state.head, backbones, a, tc))
-        v = (float(sum(np.asarray(p["total"]) for p in val_parts))
-             / max(1, len(val_parts)))
+        val_parts = jax.device_get(
+            [eval_step(state.head, backbones, *put((a, tc)))
+             for a, tc in val_batches()])
+        v = float(sum(p["total"] for p in val_parts)) / max(1, len(val_parts))
         hist["val"].append(v)
 
         log(f"Epoch {ep:03d} | train {hist['train'][-1]:.4f} | val {v:.4f} | "

@@ -127,13 +127,13 @@ def pretrain_backbone(
             state, parts = step_fn(state, x, None)
             step_parts.append(parts["total"])
         hist["train"].append(
-            float(sum(np.asarray(p) for p in step_parts)) / max(1, len(step_parts)))
+            float(sum(jax.device_get(step_parts))) / max(1, len(step_parts)))
 
         val_parts = []
         for x in val_batches():
             x = put(x)
             val_parts.append(eval_fn(state.params, x)["total"])
-        v = float(sum(np.asarray(p) for p in val_parts)) / max(1, len(val_parts))
+        v = float(sum(jax.device_get(val_parts))) / max(1, len(val_parts))
         hist["val"].append(v)
         log(f"[pretrain] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
             f"val {v:.4f} | {time.time()-t0:.1f}s")
