@@ -56,12 +56,14 @@ def make_plc_train_step(cfg: CodecConfig, tcfg: TrainConfig,
             state.head, backbones, a, tc, mask, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.head)
         head = optax.apply_updates(state.head, updates)
-        return PLCTrainState(head, opt_state, state.step + 1), parts
+        # scalar loss only: device->host fetches over a tunneled TPU are slow,
+        # so each epoch makes exactly one stacked fetch
+        return PLCTrainState(head, opt_state, state.step + 1), parts["total"]
 
     @jax.jit
     def eval_step(head, backbones, a, tc, mask):
         _, parts = loss_fn(head, backbones, a, tc, mask, None)
-        return parts
+        return parts["total"]
 
     return train_step, eval_step
 
@@ -130,18 +132,19 @@ def train_plc(
         for a, tc in train_batches(ep):
             mask = _make_mask(mask_rng, a.shape[0], t_lat, pcfg, mode, tps)
             a, tc, mask = put((a, tc, mask))
-            state, parts = train_step(state, backbones, a, tc, mask, base_rng)
-            step_parts.append(parts["total"])
+            state, total = train_step(state, backbones, a, tc, mask, base_rng)
+            step_parts.append(total)
         hist["train"].append(
-            float(sum(jax.device_get(step_parts))) / max(1, len(step_parts)))
+            float(np.asarray(jnp.stack(step_parts)).mean())
+            if step_parts else 0.0)
 
         val_rng = np.random.default_rng(seed + 999)  # fixed masks across epochs
         val_parts = []
         for a, tc in val_batches():
             mask = _make_mask(val_rng, a.shape[0], t_lat, pcfg, mode, tps)
             a, tc, mask = put((a, tc, mask))
-            val_parts.append(eval_step(state.head, backbones, a, tc, mask)["total"])
-        v = float(sum(jax.device_get(val_parts))) / max(1, len(val_parts))
+            val_parts.append(eval_step(state.head, backbones, a, tc, mask))
+        v = float(np.asarray(jnp.stack(val_parts)).mean()) if val_parts else 0.0
         hist["val"].append(v)
         log(f"[plc:{mode}] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
             f"val {v:.4f} | {time.time()-t0:.1f}s")

@@ -13,7 +13,6 @@ the data-axis mesh with GSPMD inserting the gradient psum.
 
 from __future__ import annotations
 
-import math
 import os
 import time
 from functools import partial
@@ -26,7 +25,7 @@ import optax
 
 from ..core.config import CodecConfig, TrainConfig
 from ..losses.losses import codec_loss
-from ..models import allpred_ar, dac
+from ..models import allpred_ar
 from ..ops.rvq import ema_update
 from ..parallel import mesh as pmesh
 from ..utils import artifacts
@@ -75,10 +74,18 @@ def make_optimizer(head: dict, tcfg: TrainConfig, steps_per_epoch: int
     return optax.apply_if_finite(tx, max_consecutive_errors=10**6)
 
 
+METRIC_KEYS = ("total", "l1", "stft", "mel")
+
+
 def make_train_step(cfg: CodecConfig, tcfg: TrainConfig,
                     tx: optax.GradientTransformation,
                     ema_decay: Optional[float] = None):
-    """Build the jitted train step over (state, backbones, batch, rng, do_ema)."""
+    """Build the jitted train step over (state, backbones, batch, rng, do_ema).
+
+    Steps return metrics as ONE [4] array (METRIC_KEYS order): every device->host
+    fetch over a tunneled TPU costs ~seconds of polling latency and device_get
+    fetches per leaf, so scalar dicts are packed.
+    """
     decay = ema_decay if ema_decay is not None else cfg.rvq.ema_decay
 
     def loss_fn(head, backbones, a, tc, rng):
@@ -113,12 +120,13 @@ def make_train_step(cfg: CodecConfig, tcfg: TrainConfig,
                            decay=decay)
         books = jnp.where(jnp.asarray(do_ema), books, head["vq_books"])
         head = {**head, "vq_books": books}
-        return TrainState(head, opt_state, state.step + 1), parts
+        metrics = jnp.stack([parts[k] for k in METRIC_KEYS])
+        return TrainState(head, opt_state, state.step + 1), metrics
 
     @jax.jit
     def eval_step(head: dict, backbones: dict, a, tc):
         total, (parts, _, _) = loss_fn(head, backbones, a, tc, None)
-        return parts
+        return jnp.stack([parts[k] for k in METRIC_KEYS])
 
     return train_step, eval_step
 
@@ -186,28 +194,27 @@ def train_codec(
     base_rng = jax.random.key(seed + 1)
     for ep in range(start_epoch, tcfg.epochs + 1):
         t0 = time.time()
-        step_parts = []  # device arrays; pulled to host ONCE per epoch
+        step_metrics = []  # [4] device arrays; ONE stacked fetch per epoch
         do_ema = ep > cfg.rvq.ema_warm_epochs
         for a, tc in train_batches(ep):
             a, tc = put((a, tc))
-            state, parts = train_step(state, backbones, a, tc, base_rng,
-                                      do_ema=do_ema)
-            step_parts.append(parts)
-        n = max(1, len(step_parts))
-        host_parts = jax.device_get(step_parts)  # ONE transfer for the epoch
-        sums = {k: float(sum(p[k] for p in host_parts)) / n
-                for k in ("total", "l1", "stft", "mel")} if host_parts else {
-                    "total": 0.0, "l1": 0.0, "stft": 0.0, "mel": 0.0}
+            state, metrics = train_step(state, backbones, a, tc, base_rng,
+                                        do_ema=do_ema)
+            step_metrics.append(metrics)
+        val_metrics = [eval_step(state.head, backbones, *put((a, tc)))
+                       for a, tc in val_batches()]
+        # exactly one device->host fetch for the whole epoch
+        train_mean = np.asarray(jnp.stack(step_metrics).mean(0)) if \
+            step_metrics else np.zeros(4)
+        val_mean = np.asarray(jnp.stack(val_metrics).mean(0)) if \
+            val_metrics else np.zeros(4)
+        sums = dict(zip(METRIC_KEYS, train_mean.tolist()))
         hist["train"].append(sums["total"])
         hist["l1"].append(sums["l1"])
         hist["stft"].append(sums["stft"])
         hist["mel"].append(sums["mel"])
         hist["ema"].append(1.0 if do_ema else 0.0)
-
-        val_parts = jax.device_get(
-            [eval_step(state.head, backbones, *put((a, tc)))
-             for a, tc in val_batches()])
-        v = float(sum(p["total"] for p in val_parts)) / max(1, len(val_parts))
+        v = float(val_mean[0])
         hist["val"].append(v)
 
         log(f"Epoch {ep:03d} | train {hist['train'][-1]:.4f} | val {v:.4f} | "

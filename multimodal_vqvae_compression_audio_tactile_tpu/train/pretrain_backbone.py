@@ -22,7 +22,6 @@ from typing import Callable, Iterable, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..core.config import DacConfig, TrainConfig
@@ -63,12 +62,12 @@ def make_pretrain_step(cfg: DacConfig, tcfg: TrainConfig,
             state.params, x, nq)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return PretrainState(params, opt_state, state.step + 1), parts
+        return PretrainState(params, opt_state, state.step + 1), parts["total"]
 
     @jax.jit
     def eval_step(params, x):
         _, parts = loss_fn(params, x, None)
-        return parts
+        return parts["total"]
 
     return pretrain_step, eval_step
 
@@ -124,16 +123,16 @@ def pretrain_backbone(
         step_parts = []  # pulled to host once per epoch (tunnel-friendly)
         for x in train_batches(ep):
             x = put(x)
-            state, parts = step_fn(state, x, None)
-            step_parts.append(parts["total"])
+            state, total = step_fn(state, x, None)
+            step_parts.append(total)
         hist["train"].append(
-            float(sum(jax.device_get(step_parts))) / max(1, len(step_parts)))
+            float(jnp.stack(step_parts).mean()) if step_parts else 0.0)
 
         val_parts = []
         for x in val_batches():
             x = put(x)
-            val_parts.append(eval_fn(state.params, x)["total"])
-        v = float(sum(jax.device_get(val_parts))) / max(1, len(val_parts))
+            val_parts.append(eval_fn(state.params, x))
+        v = float(jnp.stack(val_parts).mean()) if val_parts else 0.0
         hist["val"].append(v)
         log(f"[pretrain] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
             f"val {v:.4f} | {time.time()-t0:.1f}s")

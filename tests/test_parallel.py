@@ -63,9 +63,9 @@ class TestShardedTraining:
         state = tl.TrainState(*pm.shard_replicated(mesh, tuple(state)))
         bb = pm.shard_replicated(mesh, backbones)
         am, tm = pm.shard_batch(mesh, (a, tc))
-        state, parts = train_step(state, bb, am, tm, jax.random.key(1),
-                                  do_ema=True)
-        assert np.isfinite(float(parts["total"]))
+        state, metrics = train_step(state, bb, am, tm, jax.random.key(1),
+                                     do_ema=True)
+        assert np.isfinite(float(metrics[0]))
 
     def test_sharded_matches_single_device(self, everything):
         """Data parallelism must be semantically invisible: the same global
@@ -84,12 +84,12 @@ class TestShardedTraining:
                 am, tm = pm.shard_batch(mesh, (a, tc))
             else:
                 bb, am, tm = backbones, jnp.asarray(a), jnp.asarray(tc)
-            new_state, parts = train_step(state, bb, am, tm, None, do_ema=True)
-            return new_state, parts
+            new_state, metrics = train_step(state, bb, am, tm, None, do_ema=True)
+            return new_state, metrics
 
         s1, p1 = run(None)
         s8, p8 = run(pm.create_mesh())
-        assert float(p1["total"]) == pytest.approx(float(p8["total"]), rel=1e-5)
+        assert float(p1[0]) == pytest.approx(float(p8[0]), rel=1e-5)
         l1 = jax.tree.leaves(s1.head)
         l8 = jax.tree.leaves(s8.head)
         for x1, x8 in zip(l1, l8):
