@@ -101,7 +101,7 @@ def main() -> None:
     ds_tr = SegmentDataset(tr, sr=cfg.dac.sample_rate, seg=seg, seed=args.seed)
     ds_va = SegmentDataset(va, sr=cfg.dac.sample_rate, seg=seg, seed=args.seed)
 
-    # ---- 2. backbone pretraining ----------------------------------------
+    # ---- 2. backbone pretraining (skipped when a checkpoint already exists)
     bb_dir = os.path.join(root, "backbone")
 
     def wav_only(it, idx):
@@ -109,14 +109,18 @@ def main() -> None:
             yield batch[idx]
 
     t0 = time.time()
-    pretrain_backbone(
-        cfg.dac, tcfg_bb,
-        train_batches=lambda ep: wav_only(
-            batch_iterator(ds_tr, args.batch, seed=args.seed, epoch=ep), 1),
-        val_batches=lambda: wav_only(
-            batch_iterator(ds_va, args.batch, shuffle=False, drop_last=False), 1),
-        out_dir=bb_dir, seed=args.seed, save_every=10)
-    print(f"[demo] backbone pretrained in {time.time()-t0:.0f}s", flush=True)
+    if os.path.exists(os.path.join(bb_dir, "best.msgpack")):
+        print("[demo] reusing existing backbone checkpoint", flush=True)
+    else:
+        pretrain_backbone(
+            cfg.dac, tcfg_bb,
+            train_batches=lambda ep: wav_only(
+                batch_iterator(ds_tr, args.batch, seed=args.seed, epoch=ep), 1),
+            val_batches=lambda: wav_only(
+                batch_iterator(ds_va, args.batch, shuffle=False,
+                               drop_last=False), 1),
+            out_dir=bb_dir, seed=args.seed, save_every=10)
+    print(f"[demo] backbone ready in {time.time()-t0:.0f}s", flush=True)
 
     template = dac.dac_init(jax.random.key(0), cfg.dac)
     bb_params, _, _ = ckpt.load_checkpoint_tolerant(
