@@ -10,10 +10,8 @@ measurement per n_q.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,7 +49,9 @@ def eval_backbone_codec(
     for n_q in n_q_list:
         log(f"[backbone] n_q={n_q}")
 
-        @partial(jax.jit, static_argnames=())
+        # params must flow as jit ARGUMENTS (the already-jitted dac functions):
+        # a closure would bake ~300 MB of weights into the HLO as constants,
+        # which remote compile services reject outright
         def _codec(x, n_q=n_q):
             zq, codes, _, _ = dac.encode_quantized(params, cfg, x,
                                                    n_quantizers=n_q)

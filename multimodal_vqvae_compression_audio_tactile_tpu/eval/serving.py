@@ -39,27 +39,30 @@ class StreamingCodec:
 
         cdt = compute_dtype
 
+        # params flow as jit ARGUMENTS: closing over them would bake hundreds
+        # of MB of weights into the HLO as constants (rejected by remote
+        # compilers and slow at dispatch)
         @jax.jit
-        def _encode(a, tc):
+        def _encode(p, a, tc):
             z_run, codes = allpred_ar.encode_latents(
-                params, cfg, a.astype(cdt), tc.astype(cdt),
+                p, cfg, a.astype(cdt), tc.astype(cdt),
                 n_books_use=self.n_books_use)
             return z_run, codes
 
         @jax.jit
-        def _decode(z_run):
-            return dac.decode(params.tactile_dac, cfg.dac,
+        def _decode(p, z_run):
+            return dac.decode(p.tactile_dac, cfg.dac,
                               z_run.astype(cdt)).astype(jnp.float32)
 
         @jax.jit
-        def _decode_codes(a, codes):
+        def _decode_codes(p, a, codes):
             # true receiver path: audio + transmitted indices, no tactile input
             return allpred_ar.decode_from_codes(
-                params, cfg, a.astype(cdt), codes).astype(jnp.float32)
+                p, cfg, a.astype(cdt), codes).astype(jnp.float32)
 
-        self._encode = _encode
-        self._decode = _decode
-        self._decode_codes = _decode_codes
+        self._encode = lambda a, tc: _encode(self.params, a, tc)
+        self._decode = lambda z: _decode(self.params, z)
+        self._decode_codes = lambda a, c: _decode_codes(self.params, a, c)
         # warmup/compile
         a = jnp.zeros((batch, 1, self.frame), jnp.float32)
         t = jnp.zeros((batch, 1, self.frame), jnp.float32)
