@@ -22,6 +22,7 @@ from ..models import allpred_ar, dac
 from ..train import checkpoint as ckpt
 from ..utils import artifacts
 from ..utils.wav_io import load_wav_mono
+from . import bitstream
 from . import metrics as M
 from .latency import buffer_delay_ms, measure_codec_latency
 
@@ -53,6 +54,7 @@ def evaluate_proposed_model(
         sr_native=sr24, warmup=ecfg.latency_warmup, repeats=ecfg.latency_repeats)
 
     st_vals, ps_vals = [], []
+    total_bytes, total_sec = 0, 0.0
     for a_path, t_path, _ in pairs:
         a_raw, sr_a = load_wav_mono(a_path)
         t_raw, sr_t = load_wav_mono(t_path)
@@ -61,10 +63,15 @@ def evaluate_proposed_model(
         t24 = np.asarray(resample(jnp.asarray(t_raw / scale), sr_t, sr24))
         # the predictor consumes equal-length latent streams: crop to common length
         L = min(a24.shape[-1], t24.shape[-1])
-        y24 = np.asarray(allpred_ar.forward_eval(
+        z_run, codes = allpred_ar.encode_latents(
             params, cfg, jnp.asarray(a24[None, :, :L]),
-            jnp.asarray(t24[None, :, :L]), n_books_use=books_use))[0]
+            jnp.asarray(t24[None, :, :L]), n_books_use=books_use)
+        y24 = np.asarray(dac.decode(params.tactile_dac, cfg.dac, z_run))[0]
         est = np.asarray(resample(jnp.asarray(y24 * scale), sr24, sr_t))
+        # real transmitter accounting: entropy-coded bytes for this file's codes
+        total_bytes += len(bitstream.pack_codes(np.asarray(codes)[0],
+                                                cfg.rvq.n_embed))
+        total_sec += L / float(sr24)
 
         if protocol == "3k":
             # reference [3K]: metrics on the 24 kHz signals, unit-scale domain
@@ -90,10 +97,15 @@ def evaluate_proposed_model(
     tps = cfg.dac.tokens_per_sec
     bits = math.log2(cfg.rvq.n_embed)
     kbps = tps * books_use * bits / 1000.0
+    kbps_coded = (bitstream.empirical_kbps(total_bytes, total_sec)
+                  if total_sec > 0 else float("nan"))
     return {
         "psnr_protocol": protocol,
         "books": books_use, "embed": cfg.rvq.n_embed,
         "bits_per_code": bits, "tps": tps, "kbps": kbps,
+        # nominal kbps is the reference's rate model; entropy-coded is the
+        # framework's real transmitter (eval/bitstream.py adaptive range coder)
+        "kbps_entropy_coded": kbps_coded,
         "compression_ratio": ecfg.pcm_kbps_baseline / kbps if kbps else None,
         "n": len(ps_vals),
         "stsim_mean": st_m, "stsim_ci95": st_ci,

@@ -18,9 +18,11 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.config import CodecConfig
 from ..models import allpred_ar, dac
+from . import bitstream
 
 
 class StreamingCodec:
@@ -79,6 +81,21 @@ class StreamingCodec:
     def decode_from_codes(self, a, codes):
         """Receiver-side: audio [B,1,T] + codes [B,T_lat,n] -> tactile [B,1,T]."""
         return self._decode_codes(a, codes)
+
+    def encode_to_bytes(self, a, tc) -> list[bytes]:
+        """Full transmitter: waveforms in -> one entropy-coded byte stream per
+        batch element ('RVQ1' format, eval/bitstream.py). The adaptive range
+        coder lands at the empirical code entropy, i.e. at or below the
+        reference's nominal tokens/sec*books*log2(K) rate."""
+        _, codes = self._encode(a, tc)
+        codes_np = np.asarray(codes)
+        return [bitstream.pack_codes(c, self.cfg.rvq.n_embed)
+                for c in codes_np]
+
+    def decode_from_bytes(self, a, streams: list[bytes]):
+        """Full receiver: audio + 'RVQ1' byte streams -> tactile waveforms."""
+        codes = np.stack([bitstream.unpack_codes(s) for s in streams])
+        return self._decode_codes(a, jnp.asarray(codes))
 
     def throughput_frames_per_sec(self, repeats: int = 20) -> dict:
         """Sustained batched frames/sec/chip for encode and decode."""

@@ -17,6 +17,7 @@
 
 namespace vcpwq {
 std::vector<uint8_t> encode(const float*, uint32_t, uint32_t, uint32_t, uint32_t);
+std::vector<uint8_t> encode_v2(const float*, uint32_t, uint32_t, uint32_t, uint32_t);
 std::vector<float> decode(const uint8_t*, size_t);
 }
 
@@ -108,12 +109,14 @@ static std::string stem_of(const std::string& path) {
   return (dot == std::string::npos) ? name : name.substr(0, dot);
 }
 
-static int do_encode(const std::string& in, const std::string& out, int b) {
+static int do_encode(const std::string& in, const std::string& out, int b,
+                     bool v1 = false) {
   std::vector<float> x;
   uint32_t sr = 0;
   if (!read_wav(in, &x, &sr)) { fprintf(stderr, "bad wav: %s\n", in.c_str()); return 1; }
   std::vector<uint8_t> enc =
-      vcpwq::encode(x.data(), (uint32_t)x.size(), sr, 512, (uint32_t)b);
+      v1 ? vcpwq::encode(x.data(), (uint32_t)x.size(), sr, 512, (uint32_t)b)
+         : vcpwq::encode_v2(x.data(), (uint32_t)x.size(), sr, 512, (uint32_t)b);
   if (!write_blob(out, enc)) return 1;
   return 0;
 }
@@ -136,7 +139,8 @@ static int do_decode(const std::string& in, const std::string& out) {
 
 int main(int argc, char** argv) {
   if (argc >= 5 && !strcmp(argv[1], "encode"))
-    return do_encode(argv[2], argv[3], atoi(argv[4]));
+    return do_encode(argv[2], argv[3], atoi(argv[4]),
+                     argc >= 6 && !strcmp(argv[5], "v1"));
   if (argc >= 4 && !strcmp(argv[1], "decode"))
     return do_decode(argv[2], argv[3]);
   if (argc >= 6 && !strcmp(argv[1], "batch")) {
@@ -163,7 +167,7 @@ int main(int argc, char** argv) {
     return 0;
   }
   fprintf(stderr,
-          "usage: vcpwq_codec encode IN.wav OUT.binary B\n"
+          "usage: vcpwq_codec encode IN.wav OUT.binary B [v1]\n"
           "       vcpwq_codec decode IN.binary OUT.wav\n"
           "       vcpwq_codec batch IN_DIR DEC_DIR COMP_DIR B\n");
   return 2;

@@ -19,12 +19,22 @@
 //
 // Build: make -C native/vcpwq    (produces vcpwq_codec CLI + libvcpwq.so)
 
+// v2 stream ('VPW2' magic): same wavelet/perceptual-weight/bitplane decision
+// structure, but every decision is coded with the adaptive binary range coder
+// (rangecoder.h) in ONE stream for the whole file, contexts carried across
+// blocks. The per-block bit budget is enforced with the coder's deterministic
+// model-cost counter (identical on both sides), so the same decisions are
+// made but each costs ~its entropy — more planes fit a given budget, and the
+// emitted bytes drop well below the nominal budget.
+
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <string>
 #include <vector>
+
+#include "rangecoder.h"
 
 namespace vcpwq {
 
@@ -296,6 +306,68 @@ static void decode_block(BitReader* br, int n, int sample_rate, int budget_bits,
   for (int i = 0; i < n; ++i) out[i] = (float)c[i];
 }
 
+// --------------------------------------------- v2: range-coded bitplanes
+
+// Shared quantization prep: DWT + perceptual weights + integer quantization.
+struct QuantBlock {
+  std::vector<int32_t> q;
+  int msb;
+  int32_t gain_code;
+};
+
+static void quantize_block(const float* x, int n, int sample_rate,
+                           QuantBlock* out) {
+  int levels = wavelet_levels(n);
+  std::vector<double> c(x, x + n);
+  dwt97_forward(c, levels);
+  std::vector<double> w;
+  band_weights(n, levels, sample_rate, &w);
+  for (int i = 0; i < n; ++i) c[i] *= w[i];
+  double cmax = 0.0;
+  for (int i = 0; i < n; ++i) cmax = std::max(cmax, std::fabs(c[i]));
+  double scale = (cmax > 0) ? (32767.0 / cmax) : 1.0;
+  out->q.resize(n);
+  for (int i = 0; i < n; ++i) out->q[i] = (int32_t)std::lround(c[i] * scale);
+  int32_t amax = 0;
+  for (int i = 0; i < n; ++i) amax = std::max(amax, std::abs(out->q[i]));
+  out->msb = 0;
+  while ((1 << (out->msb + 1)) <= amax) ++out->msb;
+  double lg = (cmax > 0) ? std::log2(cmax) : -30.0;
+  int32_t gain_code = (int32_t)std::lround(lg * 256.0);
+  if (gain_code > 32767) gain_code = 32767;
+  if (gain_code < -32768) gain_code = -32768;
+  out->gain_code = gain_code;
+}
+
+static void reconstruct_block(const std::vector<int32_t>& q,
+                              const std::vector<int8_t>& sign,
+                              int32_t gain_code, int n, int sample_rate,
+                              float* out) {
+  int levels = wavelet_levels(n);
+  double cmax = std::pow(2.0, gain_code / 256.0);
+  double scale = 32767.0 / (cmax > 0 ? cmax : 1.0);
+  std::vector<double> c(n);
+  std::vector<double> w;
+  band_weights(n, levels, sample_rate, &w);
+  for (int i = 0; i < n; ++i) c[i] = sign[i] * (double)q[i] / scale / w[i];
+  dwt97_inverse(c, levels);
+  for (int i = 0; i < n; ++i) out[i] = (float)c[i];
+}
+
+// Adaptive contexts shared across all blocks of a stream.
+struct V2Contexts {
+  uint16_t group = rc::kProbInit;   // group-significance decisions
+  uint16_t sig[2] = {rc::kProbInit, rc::kProbInit};  // ctx: left-neighbor sig
+  uint16_t ref = rc::kProbInit;     // refinement bits
+};
+
+static const int kGroup = 16;
+
+std::vector<uint8_t> encode_v2(const float* x, uint32_t n,
+                               uint32_t sample_rate, uint32_t block_len,
+                               uint32_t b);
+std::vector<float> decode_v2(const uint8_t* data, size_t size);
+
 // ------------------------------------------------------------ stream codec
 
 struct Header {
@@ -335,7 +407,144 @@ std::vector<uint8_t> encode(const float* x, uint32_t n, uint32_t sample_rate,
   return out;
 }
 
-std::vector<float> decode(const uint8_t* data, size_t size) {
+std::vector<uint8_t> encode_v2(const float* x, uint32_t n,
+                               uint32_t sample_rate, uint32_t block_len,
+                               uint32_t b) {
+  // Same per-block decision budget as v1 (b*24 model-cost bits), but coded
+  // decisions cost their entropy, so more planes land inside the budget.
+  const uint64_t budget256 = (uint64_t)(b * 24) * 256;
+  uint32_t n_blocks = (n + block_len - 1) / block_len;
+
+  std::vector<uint8_t> out;
+  out.insert(out.end(), {'V', 'P', 'W', '2'});
+  Header h{sample_rate, block_len, n, b};
+  const uint8_t* hp = reinterpret_cast<const uint8_t*>(&h);
+  out.insert(out.end(), hp, hp + sizeof(h));
+
+  rc::Encoder enc;
+  V2Contexts cx;
+  const int bl = (int)block_len;
+  int n_groups = (bl + kGroup - 1) / kGroup;
+  std::vector<float> block(block_len);
+  std::vector<uint8_t> significant(bl), group_sig(n_groups);
+
+  for (uint32_t bi = 0; bi < n_blocks; ++bi) {
+    uint32_t s = bi * block_len;
+    uint32_t len = std::min(block_len, n - s);
+    std::fill(block.begin(), block.end(), 0.0f);
+    std::memcpy(block.data(), x + s, len * sizeof(float));
+
+    QuantBlock qb;
+    quantize_block(block.data(), bl, (int)sample_rate, &qb);
+    enc.encode_raw_bits((uint16_t)qb.gain_code, 16);
+    enc.encode_raw_bits((uint32_t)qb.msb, 5);
+
+    std::fill(significant.begin(), significant.end(), 0);
+    std::fill(group_sig.begin(), group_sig.end(), 0);
+    uint64_t start = enc.cost256();
+    auto left = [&]() { return enc.cost256() - start < budget256; };
+
+    for (int plane = qb.msb; plane >= 0 && left(); --plane) {
+      for (int g = 0; g < n_groups && left(); ++g) {
+        int lo = g * kGroup, hi = std::min(bl, lo + kGroup);
+        if (!group_sig[g]) {
+          int any = 0;
+          for (int i = lo; i < hi; ++i)
+            if (std::abs(qb.q[i]) >> plane) { any = 1; break; }
+          enc.encode(&cx.group, any);
+          if (!any) continue;
+          group_sig[g] = 1;
+        }
+        for (int i = lo; i < hi && left(); ++i) {
+          int32_t a = std::abs(qb.q[i]);
+          if (!significant[i]) {
+            int sig = ((a >> plane) & 1) && (a >> (plane + 1)) == 0;
+            int ctx = (i > lo && significant[i - 1]) ? 1 : 0;
+            enc.encode(&cx.sig[ctx], sig);
+            if (sig) {
+              enc.encode_raw(qb.q[i] < 0);
+              significant[i] = 1;
+            }
+          } else {
+            enc.encode(&cx.ref, (a >> plane) & 1);
+          }
+        }
+      }
+    }
+  }
+  enc.flush();
+  out.insert(out.end(), enc.bytes().begin(), enc.bytes().end());
+  return out;
+}
+
+std::vector<float> decode_v2(const uint8_t* data, size_t size) {
+  if (size < 4 + sizeof(Header) || std::memcmp(data, "VPW2", 4) != 0)
+    return {};
+  Header h;
+  std::memcpy(&h, data + 4, sizeof(h));
+  const uint64_t budget256 = (uint64_t)(h.b * 24) * 256;
+  size_t pos = 4 + sizeof(h);
+  uint32_t n_blocks = (h.n_samples + h.block_len - 1) / h.block_len;
+
+  rc::Decoder dec(data + pos, size - pos);
+  V2Contexts cx;
+  const int bl = (int)h.block_len;
+  int n_groups = (bl + kGroup - 1) / kGroup;
+  std::vector<float> out(h.n_samples, 0.0f);
+  std::vector<float> block(h.block_len);
+  std::vector<int32_t> q(bl);
+  std::vector<int8_t> sign(bl);
+  std::vector<uint8_t> significant(bl), group_sig(n_groups);
+
+  for (uint32_t bi = 0; bi < n_blocks; ++bi) {
+    int32_t gain_code = (int16_t)dec.decode_raw_bits(16);
+    int msb = (int)dec.decode_raw_bits(5);
+
+    std::fill(q.begin(), q.end(), 0);
+    std::fill(sign.begin(), sign.end(), 1);
+    std::fill(significant.begin(), significant.end(), 0);
+    std::fill(group_sig.begin(), group_sig.end(), 0);
+    uint64_t start = dec.cost256();
+    auto left = [&]() { return dec.cost256() - start < budget256; };
+
+    for (int plane = msb; plane >= 0 && left(); --plane) {
+      for (int g = 0; g < n_groups && left(); ++g) {
+        int lo = g * kGroup, hi = std::min(bl, lo + kGroup);
+        if (!group_sig[g]) {
+          int any = dec.decode(&cx.group);
+          if (!any) continue;
+          group_sig[g] = 1;
+        }
+        for (int i = lo; i < hi && left(); ++i) {
+          if (!significant[i]) {
+            int ctx = (i > lo && significant[i - 1]) ? 1 : 0;
+            int sig = dec.decode(&cx.sig[ctx]);
+            if (sig) {
+              sign[i] = dec.decode_raw() ? -1 : 1;
+              significant[i] = 1;
+              q[i] = (1 << plane) + (plane > 0 ? (1 << (plane - 1)) : 0);
+            }
+          } else {
+            int bit = dec.decode(&cx.ref);
+            if (bit) q[i] |= (1 << plane);
+            else q[i] &= ~(1 << plane);
+            if (plane > 0)
+              q[i] = (q[i] & ~((1 << plane) - 1)) | (1 << (plane - 1));
+          }
+        }
+      }
+    }
+
+    reconstruct_block(q, sign, gain_code, bl, (int)h.sample_rate,
+                      block.data());
+    uint32_t s = bi * h.block_len;
+    uint32_t len = std::min(h.block_len, h.n_samples - s);
+    std::memcpy(out.data() + s, block.data(), len * sizeof(float));
+  }
+  return out;
+}
+
+std::vector<float> decode_v1(const uint8_t* data, size_t size) {
   if (size < 4 + sizeof(Header) || std::memcmp(data, "VPWQ", 4) != 0)
     return {};
   Header h;
@@ -362,16 +571,34 @@ std::vector<float> decode(const uint8_t* data, size_t size) {
   return out;
 }
 
+// Magic-dispatching decoder: reads both stream versions.
+std::vector<float> decode(const uint8_t* data, size_t size) {
+  if (size >= 4 && std::memcmp(data, "VPW2", 4) == 0)
+    return decode_v2(data, size);
+  return decode_v1(data, size);
+}
+
 }  // namespace vcpwq
 
 // ----------------------------------------------------------------- C API
 
 extern "C" {
 
-// Encode: returns number of bytes written to out (caller allocates cap bytes).
+// Encode (v2 range-coded stream, the default): returns number of bytes
+// written to out (caller allocates cap bytes).
 int64_t vcpwq_encode(const float* x, uint32_t n, uint32_t sample_rate,
                      uint32_t block_len, uint32_t b, uint8_t* out,
                      int64_t cap) {
+  std::vector<uint8_t> enc = vcpwq::encode_v2(x, n, sample_rate, block_len, b);
+  if ((int64_t)enc.size() > cap) return -(int64_t)enc.size();
+  std::memcpy(out, enc.data(), enc.size());
+  return (int64_t)enc.size();
+}
+
+// Legacy v1 (raw bitplane) encoder, kept for format compatibility tests.
+int64_t vcpwq_encode_v1(const float* x, uint32_t n, uint32_t sample_rate,
+                        uint32_t block_len, uint32_t b, uint8_t* out,
+                        int64_t cap) {
   std::vector<uint8_t> enc = vcpwq::encode(x, n, sample_rate, block_len, b);
   if ((int64_t)enc.size() > cap) return -(int64_t)enc.size();
   std::memcpy(out, enc.data(), enc.size());

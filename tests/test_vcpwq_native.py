@@ -45,9 +45,45 @@ class TestCodec:
     def test_binary_magic_and_header(self, codec_bin, test_wav, tmp_path):
         comp, _ = _roundtrip(codec_bin, test_wav, tmp_path, 24)
         blob = open(comp, "rb").read()
-        assert blob[:4] == b"VPWQ"
+        assert blob[:4] == b"VPW2"  # v2 range-coded stream is the default
         sr, block_len, n, b = np.frombuffer(blob[4:20], dtype="<u4")
         assert (sr, block_len, n, b) == (3000, 512, 6000, 24)
+
+    def test_v1_flag_and_cross_version_decode(self, codec_bin, test_wav,
+                                              tmp_path):
+        comp = str(tmp_path / "v1.binary")
+        dec = str(tmp_path / "v1_dec.wav")
+        assert subprocess.run(
+            [codec_bin, "encode", test_wav, comp, "24", "v1"]).returncode == 0
+        assert open(comp, "rb").read(4) == b"VPWQ"
+        # the same binary decodes both stream versions (magic dispatch)
+        assert subprocess.run([codec_bin, "decode", comp, dec]).returncode == 0
+        y, sr = wav_io.load_wav_mono(dec)
+        assert sr == 3000 and y.shape[-1] == 6000
+
+    def test_v2_beats_v1_rate_distortion(self, codec_bin, test_wav, tmp_path):
+        """Range-coded bitplanes: more planes per budget => better PSNR at
+        no more bytes, at every operating point."""
+        x, _ = wav_io.load_wav_mono(test_wav)
+
+        def run(b, v1):
+            comp = str(tmp_path / f"rd_{b}_{v1}.binary")
+            dec = str(tmp_path / f"rd_{b}_{v1}.wav")
+            cmd = [codec_bin, "encode", test_wav, comp, str(b)]
+            if v1:
+                cmd.append("v1")
+            subprocess.run(cmd, check=True)
+            subprocess.run([codec_bin, "decode", comp, dec], check=True)
+            y, _ = wav_io.load_wav_mono(dec)
+            T = min(x.shape[-1], y.shape[-1])
+            mse = float(np.mean((x[0, :T] - y[0, :T]) ** 2))
+            return os.path.getsize(comp), 10 * np.log10(1.0 / max(mse, 1e-12))
+
+        for b in (24, 48, 120):
+            size1, psnr1 = run(b, True)
+            size2, psnr2 = run(b, False)
+            assert size2 <= size1
+            assert psnr2 >= psnr1 - 0.1  # never worse; usually 1-2 dB better
 
     def test_decoded_length_and_sr(self, codec_bin, test_wav, tmp_path):
         _, dec = _roundtrip(codec_bin, test_wav, tmp_path, 24)
