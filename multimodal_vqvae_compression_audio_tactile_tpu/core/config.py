@@ -136,6 +136,29 @@ class LossConfig:
 
 
 @dataclass(frozen=True)
+class GanConfig:
+    """Adversarial backbone-pretraining settings (losses/gan.py).
+
+    The reference's frozen backbone (pip DAC-24kHz,
+    Training/compare_dacvsproposal_3.py:344) was pretrained with exactly this
+    adversary family: HiFi-GAN multi-period + SoundStream/DAC multi-scale
+    STFT discriminators, hinge loss, relative L1 feature matching. Weights
+    follow the DAC recipe (adv 1.0, feature-matching 2.0 on top of the
+    reconstruction losses).
+    """
+
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    fft_sizes: Tuple[int, ...] = (256, 512, 1024)
+    loss_kind: str = "hinge"        # or "lsgan"
+    w_adv: float = 1.0
+    w_fm: float = 2.0
+    disc_lr: float = 2e-4
+    disc_b1: float = 0.8            # DAC/HiFi-GAN adam betas
+    disc_b2: float = 0.99
+    start_epoch: int = 1            # warm up recon-only before this epoch
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     """Training loop hyperparameters.
 

@@ -29,20 +29,20 @@ def _reflect_pad_last(x: jax.Array, pad: int) -> jax.Array:
     return jnp.pad(x, cfg, mode="reflect")
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "center", "eps"))
-def stft_mag(
+@partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "center"))
+def stft_complex(
     x: jax.Array,
     n_fft: int,
     hop: int,
     win_length: int | None = None,
     center: bool = True,
-    eps: float = 0.0,
 ) -> jax.Array:
-    """|STFT| of x[..., T] -> [..., n_fft//2+1, n_frames], fp32.
+    """Complex STFT of x[..., T] -> [..., n_fft//2+1, n_frames], complex64.
 
     Matches torch.stft(center=True, pad_mode="reflect", onesided=True,
-    normalized=False).abs() with a periodic hann window of length win_length
-    (padded to n_fft if shorter).
+    normalized=False) with a periodic hann window of length win_length
+    (padded to n_fft if shorter). Consumed by stft_mag (losses/metrics) and
+    the multi-scale STFT discriminator (losses/gan.py).
     """
     if win_length is None:
         win_length = n_fft
@@ -62,7 +62,23 @@ def stft_mag(
     idx = starts[:, None] + jnp.arange(n_fft)[None, :]
     frames = x[..., idx] * win  # [..., n_frames, n_fft]
     spec = jnp.fft.rfft(frames, axis=-1)  # [..., n_frames, F]
-    mag = jnp.abs(spec)
+    return jnp.swapaxes(spec, -1, -2)  # [..., F, n_frames]
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "center", "eps"))
+def stft_mag(
+    x: jax.Array,
+    n_fft: int,
+    hop: int,
+    win_length: int | None = None,
+    center: bool = True,
+    eps: float = 0.0,
+) -> jax.Array:
+    """|STFT| of x[..., T] -> [..., n_fft//2+1, n_frames], fp32.
+
+    Matches torch.stft(...).abs(); see stft_complex for the framing contract.
+    """
+    mag = jnp.abs(stft_complex(x, n_fft, hop, win_length, center))
     if eps > 0.0:
         mag = jnp.maximum(mag, eps)
-    return jnp.swapaxes(mag, -1, -2)  # [..., F, n_frames]
+    return mag

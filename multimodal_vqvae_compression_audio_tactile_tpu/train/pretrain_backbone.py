@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..core.config import DacConfig, TrainConfig
+from ..core.config import DacConfig, GanConfig, TrainConfig
+from ..losses import gan as gan_mod
 from ..losses.losses import codec_loss
 from ..models import dac
 from ..parallel import mesh as pmesh
@@ -72,6 +73,91 @@ def make_pretrain_step(cfg: DacConfig, tcfg: TrainConfig,
     return pretrain_step, eval_step
 
 
+class GanPretrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    d_params: dict
+    d_opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_gan_pretrain_step(cfg: DacConfig, tcfg: TrainConfig, gcfg: GanConfig,
+                           tx_g: optax.GradientTransformation,
+                           tx_d: optax.GradientTransformation,
+                           w_commit: float = 0.25, w_codebook: float = 1.0):
+    """Adversarial pretraining step (DAC recipe, losses/gan.py).
+
+    Generator loss = reconstruction (codec_loss + VQ terms) + w_adv * hinge
+    adversarial + w_fm * relative feature matching; discriminators (MPD +
+    multi-scale STFT) get their own AdamW. Both updates are computed from one
+    generator forward (simultaneous alternating GAN step).
+    """
+    n_books = cfg.n_codebooks
+
+    def recon(params, x):
+        z = dac.encode(params, cfg, x)
+        zq, _, commit, codebk = dac.quantize(params["quantizer"], z)
+        y = dac.decode(params, cfg, zq)
+        T = min(y.shape[-1], x.shape[-1])
+        y, x = y[..., :T], x[..., :T]
+        total, parts = codec_loss(y, x, sr=cfg.sample_rate)
+        total = total + w_commit * commit / n_books + w_codebook * codebk / n_books
+        return y, x, total, parts
+
+    def g_loss_fn(params, d_params, x):
+        y, x_c, rec_total, parts = recon(params, x)
+        adv, fm = gan_mod.gan_losses(d_params, gcfg, x_c, y)
+        total = rec_total + gcfg.w_adv * adv + gcfg.w_fm * fm
+        parts = {**parts, "adv": adv, "fm": fm, "total": total}
+        return total, (parts, y, x_c)
+
+    def d_loss_fn(d_params, y_fake, x_real):
+        real_logits, _ = gan_mod.disc_apply(d_params, gcfg, x_real)
+        fake_logits, _ = gan_mod.disc_apply(
+            d_params, gcfg, jax.lax.stop_gradient(y_fake))
+        return gan_mod.disc_loss(real_logits, fake_logits, gcfg.loss_kind)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def gan_step(state: GanPretrainState, x):
+        (_, (parts, y, x_c)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.params, state.d_params, x)
+        g_updates, g_opt = tx_g.update(g_grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, g_updates)
+
+        d_val, d_grads = jax.value_and_grad(d_loss_fn)(
+            state.d_params, y, x_c)
+        d_updates, d_opt = tx_d.update(d_grads, state.d_opt_state,
+                                       state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+        return (GanPretrainState(params, g_opt, d_params, d_opt,
+                                 state.step + 1),
+                jnp.stack([parts["total"], d_val,
+                           parts["adv"], parts["fm"]]))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def warmup_step(state: GanPretrainState, x):
+        """Reconstruction-only epochs before gcfg.start_epoch (D untouched)."""
+        def loss_only(params, x):
+            _, _, total, parts = recon(params, x)
+            return total, parts
+
+        (_, parts), grads = jax.value_and_grad(loss_only, has_aux=True)(
+            state.params, x)
+        updates, opt = tx_g.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        zero = jnp.zeros((), jnp.float32)
+        return (GanPretrainState(params, opt, state.d_params,
+                                 state.d_opt_state, state.step + 1),
+                jnp.stack([parts["total"], zero, zero, zero]))
+
+    @jax.jit
+    def eval_step(params, x):
+        _, _, total, _ = recon(params, x)
+        return total
+
+    return gan_step, warmup_step, eval_step
+
+
 def pretrain_backbone(
     cfg: DacConfig,
     tcfg: TrainConfig,
@@ -82,6 +168,7 @@ def pretrain_backbone(
     mesh=None,
     steps_per_epoch: int | None = None,
     save_every: int = 1,
+    gan: GanConfig | None = None,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Train one backbone; batches yield waveforms [B, 1, T] (single modality).
@@ -89,7 +176,9 @@ def pretrain_backbone(
     Writes last/best checkpoints + hist.json. Returns history. ``save_every``
     throttles checkpointing: a full backbone is ~300 MB, and device->host pulls
     can dominate the epoch on slow links (always saved on the final epoch; best
-    saved whenever validation improves by > 1%).
+    saved whenever validation improves by > 1%). ``gan`` switches on the
+    adversarial recipe (MPD + MS-STFT discriminators, hinge + feature
+    matching) after ``gan.start_epoch`` reconstruction-only warmup epochs.
     """
     os.makedirs(out_dir, exist_ok=True)
     params = dac.dac_init(jax.random.key(seed), cfg)
@@ -103,8 +192,28 @@ def pretrain_backbone(
         optax.chain(optax.clip_by_global_norm(tcfg.grad_clip),
                     optax.adamw(schedule, weight_decay=tcfg.weight_decay)),
         max_consecutive_errors=10**6)
-    state = PretrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    step_fn, eval_fn = make_pretrain_step(cfg, tcfg, tx)
+
+    if gan is not None:
+        d_params = gan_mod.disc_init(jax.random.key(seed + 1), gan)
+        tx_d = optax.apply_if_finite(
+            optax.chain(optax.clip_by_global_norm(tcfg.grad_clip),
+                        optax.adamw(gan.disc_lr, b1=gan.disc_b1,
+                                    b2=gan.disc_b2)),
+            max_consecutive_errors=10**6)
+        state = GanPretrainState(params, tx.init(params), d_params,
+                                 tx_d.init(d_params), jnp.zeros((), jnp.int32))
+        gan_fn, warmup_fn, eval_fn = make_gan_pretrain_step(
+            cfg, tcfg, gan, tx, tx_d)
+
+        def select_step(ep: int):
+            fn = gan_fn if ep >= gan.start_epoch else warmup_fn
+            return lambda st, x, _nq: (lambda r: (r[0], r[1][0]))(fn(st, x))
+    else:
+        state = PretrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        base_step, eval_fn = make_pretrain_step(cfg, tcfg, tx)
+
+        def select_step(ep: int):
+            return base_step
 
     if mesh is None and len(jax.devices()) > 1 and \
             tcfg.batch % len(jax.devices()) == 0:
@@ -112,7 +221,7 @@ def pretrain_backbone(
     put = (lambda b: pmesh.shard_batch(mesh, b)) if mesh is not None else (
         lambda b: jax.device_put(b))
     if mesh is not None:
-        state = PretrainState(*pmesh.shard_replicated(mesh, tuple(state)))
+        state = type(state)(*pmesh.shard_replicated(mesh, tuple(state)))
 
     best_val = float("inf")
     best_params = None   # kept on device; written to disk at the end (device->
@@ -120,6 +229,7 @@ def pretrain_backbone(
     hist = {"train": [], "val": []}
     for ep in range(1, tcfg.epochs + 1):
         t0 = time.time()
+        step_fn = select_step(ep)
         step_parts = []  # pulled to host once per epoch (tunnel-friendly)
         for x in train_batches(ep):
             x = put(x)
@@ -148,5 +258,8 @@ def pretrain_backbone(
     if best_params is not None:
         ckpt.save_checkpoint(os.path.join(out_dir, "best.msgpack"),
                              best_params, best_epoch, hist)
+    if gan is not None:
+        ckpt.save_checkpoint(os.path.join(out_dir, "disc_last.msgpack"),
+                             state.d_params, tcfg.epochs, {})
     artifacts.write_hist(out_dir, hist)
     return hist

@@ -24,6 +24,10 @@ def main() -> None:
     ap.add_argument("--synth", type=int, default=0)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--gan", action="store_true",
+                    help="adversarial recipe (MPD + MS-STFT discriminators)")
+    ap.add_argument("--gan-start-epoch", type=int, default=1,
+                    help="reconstruction-only warmup epochs before the GAN")
     args = ap.parse_args()
     _common.setup_jax(cpu=args.cpu)
 
@@ -33,7 +37,7 @@ def main() -> None:
     import numpy as np
 
     from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
-        DacConfig, TrainConfig)
+        DacConfig, GanConfig, TrainConfig)
     from multimodal_vqvae_compression_audio_tactile_tpu.data import (
         SegmentDataset, batch_iterator)
     from multimodal_vqvae_compression_audio_tactile_tpu.data.synth import (
@@ -69,7 +73,8 @@ def main() -> None:
             batch_iterator(ds_tr, tcfg.batch, seed=tcfg.seed, epoch=ep)),
         val_batches=lambda: wav_only(
             batch_iterator(ds_va, tcfg.batch, shuffle=False, drop_last=False)),
-        out_dir=args.out_dir, seed=tcfg.seed)
+        out_dir=args.out_dir, seed=tcfg.seed,
+        gan=GanConfig(start_epoch=args.gan_start_epoch) if args.gan else None)
 
 
 if __name__ == "__main__":
