@@ -126,6 +126,7 @@ def train_plc(
     mask_rng = np.random.default_rng(seed)
 
     base_rng = jax.random.key(seed + 1)
+    acp = ckpt.AsyncCheckpointer()
     for ep in range(1, tcfg.epochs + 1):
         t0 = time.time()
         step_parts = []  # pulled to host once per epoch (tunnel-friendly)
@@ -134,24 +135,26 @@ def train_plc(
             a, tc, mask = put((a, tc, mask))
             state, total = train_step(state, backbones, a, tc, mask, base_rng)
             step_parts.append(total)
-        hist["train"].append(
-            float(np.asarray(jnp.stack(step_parts)).mean())
-            if step_parts else 0.0)
-
         val_rng = np.random.default_rng(seed + 999)  # fixed masks across epochs
         val_parts = []
         for a, tc in val_batches():
             mask = _make_mask(val_rng, a.shape[0], t_lat, pcfg, mode, tps)
             a, tc, mask = put((a, tc, mask))
             val_parts.append(eval_step(state.head, backbones, a, tc, mask))
-        v = float(np.asarray(jnp.stack(val_parts)).mean()) if val_parts else 0.0
+        # ONE device->host fetch per epoch: train+val means share the transfer
+        packed = np.asarray(jnp.stack([
+            jnp.stack(step_parts).mean() if step_parts else jnp.zeros(()),
+            jnp.stack(val_parts).mean() if val_parts else jnp.zeros(())]))
+        hist["train"].append(float(packed[0]))
+        v = float(packed[1])
         hist["val"].append(v)
         log(f"[plc:{mode}] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
             f"val {v:.4f} | {time.time()-t0:.1f}s")
 
         if ep % save_every == 0 or ep == tcfg.epochs:
-            ckpt.save_checkpoint(os.path.join(out_dir, "last.msgpack"),
-                                 state.head, ep, hist)
+            # async: the head pull overlaps the next epoch's compute
+            acp.save(os.path.join(out_dir, "last.msgpack"),
+                     state.head, ep, hist)
         if v + 1e-6 < best_val and ep > tcfg.best_after_epoch:
             best_val = v
             best_epoch = ep
@@ -159,8 +162,9 @@ def train_plc(
             log("new best")
 
     if best_head is not None:
-        ckpt.save_checkpoint(os.path.join(out_dir, "best.msgpack"),
-                             best_head, best_epoch, hist)
+        acp.save(os.path.join(out_dir, "best.msgpack"),
+                 best_head, best_epoch, hist)
+    acp.close()
     artifacts.write_meta(out_dir, {
         "mode": mode,
         "plc": asdict_jsonable(pcfg),

@@ -15,9 +15,12 @@ from __future__ import annotations
 
 import json
 import os
+import queue
+import threading
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -35,6 +38,61 @@ def save_checkpoint(path: str, tree: Any, epoch: int, hist: Optional[dict] = Non
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
+
+
+class AsyncCheckpointer:
+    """Background checkpoint writer for slow device->host links.
+
+    Over the tunneled TPU here, device->host runs at ~5 MB/s: synchronously
+    pulling a ~35 MB head (or a ~300 MB backbone) every epoch adds seconds to
+    minutes of dead time per epoch — measured as the residual 5-10 s/epoch
+    overhead in the round-1 training runs. ``save()`` instead snapshots the
+    pytree ON DEVICE (HBM copy, microseconds — required anyway because the
+    donated train-state buffers are invalidated by the next step) and hands it
+    to a single writer thread that overlaps the host pull + file write with
+    the next epoch's compute. Writes are ordered; ``wait()`` drains the queue
+    (call before reading the files or exiting).
+    """
+
+    def __init__(self):
+        self._q: "queue.Queue" = queue.Queue()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            path, tree, epoch, hist = item
+            try:
+                save_checkpoint(path, tree, epoch, hist)
+            except BaseException as e:  # surfaced on the next save()/wait()
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def save(self, path: str, tree: Any, epoch: int,
+             hist: Optional[dict] = None) -> None:
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+        snapshot = jax.tree.map(jnp.array, tree)  # device-side copy
+        # hist is mutated by the train loop: freeze it now
+        hist_copy = json.loads(json.dumps(hist)) if hist else None
+        self._q.put((path, snapshot, epoch, hist_copy))
+
+    def wait(self) -> None:
+        self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def close(self) -> None:
+        self.wait()
+        self._q.put(None)
+        self._thread.join()
 
 
 def load_checkpoint(path: str, template: Any) -> tuple[Any, int, dict]:

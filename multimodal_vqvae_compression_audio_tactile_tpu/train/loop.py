@@ -192,6 +192,7 @@ def train_codec(
                                        jnp.int32))
 
     base_rng = jax.random.key(seed + 1)
+    acp = ckpt.AsyncCheckpointer()
     for ep in range(start_epoch, tcfg.epochs + 1):
         t0 = time.time()
         step_metrics = []  # [4] device arrays; ONE stacked fetch per epoch
@@ -203,11 +204,14 @@ def train_codec(
             step_metrics.append(metrics)
         val_metrics = [eval_step(state.head, backbones, *put((a, tc)))
                        for a, tc in val_batches()]
-        # exactly one device->host fetch for the whole epoch
-        train_mean = np.asarray(jnp.stack(step_metrics).mean(0)) if \
-            step_metrics else np.zeros(4)
-        val_mean = np.asarray(jnp.stack(val_metrics).mean(0)) if \
-            val_metrics else np.zeros(4)
+        # exactly ONE device->host fetch for the whole epoch: train and val
+        # means ride the same transfer (each fetch costs a tunnel roundtrip)
+        packed = np.asarray(jnp.stack([
+            jnp.stack(step_metrics).mean(0) if step_metrics
+            else jnp.zeros(4),
+            jnp.stack(val_metrics).mean(0) if val_metrics
+            else jnp.zeros(4)]))
+        train_mean, val_mean = packed[0], packed[1]
         sums = dict(zip(METRIC_KEYS, train_mean.tolist()))
         hist["train"].append(sums["total"])
         hist["l1"].append(sums["l1"])
@@ -222,8 +226,9 @@ def train_codec(
             f"MEL {hist['mel'][-1]:.4f} | {time.time()-t0:.1f}s")
 
         if ep % save_every == 0 or ep == tcfg.epochs:
-            ckpt.save_checkpoint(os.path.join(out_dir, "last.msgpack"),
-                                 state.head, ep, hist)
+            # async: the ~35 MB head pull overlaps the next epoch's compute
+            acp.save(os.path.join(out_dir, "last.msgpack"),
+                     state.head, ep, hist)
         if v + 1e-6 < best_val and ep > tcfg.best_after_epoch:
             best_val = v
             best_epoch = ep
@@ -231,8 +236,9 @@ def train_codec(
             log("new best")
 
     if best_head is not None:
-        ckpt.save_checkpoint(os.path.join(out_dir, "best.msgpack"),
-                             best_head, best_epoch, hist)
+        acp.save(os.path.join(out_dir, "best.msgpack"),
+                 best_head, best_epoch, hist)
+    acp.close()
     artifacts.write_hist(out_dir, hist)
     artifacts.write_curves(out_dir, hist, title="AllPredAR A->T (TPU)")
     return hist

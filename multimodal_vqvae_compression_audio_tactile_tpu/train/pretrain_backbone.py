@@ -22,6 +22,7 @@ from typing import Callable, Iterable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..core.config import DacConfig, GanConfig, TrainConfig
@@ -227,6 +228,7 @@ def pretrain_backbone(
     best_params = None   # kept on device; written to disk at the end (device->
     best_epoch = 0       # host pulls of a 300 MB model can cost minutes/save)
     hist = {"train": [], "val": []}
+    acp = ckpt.AsyncCheckpointer()
     for ep in range(1, tcfg.epochs + 1):
         t0 = time.time()
         step_fn = select_step(ep)
@@ -235,31 +237,37 @@ def pretrain_backbone(
             x = put(x)
             state, total = step_fn(state, x, None)
             step_parts.append(total)
-        hist["train"].append(
-            float(jnp.stack(step_parts).mean()) if step_parts else 0.0)
+        hist["train"].append(0.0)  # filled from the fused fetch below
 
         val_parts = []
         for x in val_batches():
             x = put(x)
             val_parts.append(eval_fn(state.params, x))
-        v = float(jnp.stack(val_parts).mean()) if val_parts else 0.0
+        # ONE device->host fetch per epoch: train+val means share the transfer
+        packed = np.asarray(jnp.stack([
+            jnp.stack(step_parts).mean() if step_parts else jnp.zeros(()),
+            jnp.stack(val_parts).mean() if val_parts else jnp.zeros(())]))
+        hist["train"][-1] = float(packed[0])
+        v = float(packed[1])
         hist["val"].append(v)
         log(f"[pretrain] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
             f"val {v:.4f} | {time.time()-t0:.1f}s")
 
         if ep % save_every == 0 or ep == tcfg.epochs:
-            ckpt.save_checkpoint(os.path.join(out_dir, "last.msgpack"),
-                                 state.params, ep, hist)
+            # async: the ~300 MB backbone pull overlaps the next epoch
+            acp.save(os.path.join(out_dir, "last.msgpack"),
+                     state.params, ep, hist)
         if v < best_val:
             best_val = v
             best_epoch = ep
             best_params = jax.tree.map(jnp.array, state.params)  # device copy
 
     if best_params is not None:
-        ckpt.save_checkpoint(os.path.join(out_dir, "best.msgpack"),
-                             best_params, best_epoch, hist)
+        acp.save(os.path.join(out_dir, "best.msgpack"),
+                 best_params, best_epoch, hist)
     if gan is not None:
-        ckpt.save_checkpoint(os.path.join(out_dir, "disc_last.msgpack"),
-                             state.d_params, tcfg.epochs, {})
+        acp.save(os.path.join(out_dir, "disc_last.msgpack"),
+                 state.d_params, tcfg.epochs, {})
+    acp.close()
     artifacts.write_hist(out_dir, hist)
     return hist

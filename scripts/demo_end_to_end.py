@@ -39,6 +39,12 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--gan", action="store_true",
+                    help="adversarial backbone pretraining (MPD + MS-STFT)")
+    ap.add_argument("--gan-start-epoch", type=int, default=0,
+                    help="recon-only warmup epochs (default: half the run)")
+    ap.add_argument("--plc-category", action="store_true",
+                    help="also train + eval the category-burst PLC model")
     args = ap.parse_args()
     _common.setup_jax(cpu=args.cpu)
 
@@ -47,8 +53,8 @@ def main() -> None:
     import jax
 
     from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
-        CodecConfig, EvalConfig, PLCConfig, PredictorConfig, RVQConfig,
-        SweepConfig, TrainConfig)
+        CodecConfig, EvalConfig, GanConfig, PLCConfig, PredictorConfig,
+        RVQConfig, SweepConfig, TrainConfig)
     from multimodal_vqvae_compression_audio_tactile_tpu.data import (
         SegmentDataset, batch_iterator, split_items)
     from multimodal_vqvae_compression_audio_tactile_tpu.data.synth import (
@@ -65,6 +71,8 @@ def main() -> None:
         allpred_ar, dac)
     from multimodal_vqvae_compression_audio_tactile_tpu.plc import (
         model as plc_model)
+    from multimodal_vqvae_compression_audio_tactile_tpu.plc.eval_categories \
+        import eval_plc_categories
     from multimodal_vqvae_compression_audio_tactile_tpu.plc.eval_uniform import (
         eval_plc_uniform)
     from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import train_plc
@@ -119,7 +127,10 @@ def main() -> None:
             val_batches=lambda: wav_only(
                 batch_iterator(ds_va, args.batch, shuffle=False,
                                drop_last=False), 1),
-            out_dir=bb_dir, seed=args.seed, save_every=10)
+            out_dir=bb_dir, seed=args.seed, save_every=10,
+            gan=GanConfig(start_epoch=args.gan_start_epoch or
+                          max(1, args.pretrain_epochs // 2))
+            if args.gan else None)
     print(f"[demo] backbone ready in {time.time()-t0:.0f}s", flush=True)
 
     template = dac.dac_init(jax.random.key(0), cfg.dac)
@@ -157,6 +168,19 @@ def main() -> None:
                                                  shuffle=False, drop_last=False),
               out_dir=plc_dir, mode="uniform", seed=args.seed, save_every=5)
     print(f"[demo] PLC trained in {time.time()-t0:.0f}s", flush=True)
+
+    plc_cat_dir = os.path.join(root, "plc_category")
+    if args.plc_category:
+        t0 = time.time()
+        train_plc(cfg, tcfg_plc, PLCConfig(), backbones,
+                  train_batches=lambda ep: batch_iterator(
+                      ds_tr, args.batch, seed=args.seed, epoch=ep),
+                  val_batches=lambda: batch_iterator(
+                      ds_va, args.batch, shuffle=False, drop_last=False),
+                  out_dir=plc_cat_dir, mode="category", seed=args.seed,
+                  save_every=5)
+        print(f"[demo] category PLC trained in {time.time()-t0:.0f}s",
+              flush=True)
 
     # ---- 5a. native VC-PWQ on the corpus ---------------------------------
     codec_bin = os.path.join(os.path.dirname(os.path.dirname(
@@ -209,6 +233,16 @@ def main() -> None:
     plc_summary = eval_plc_uniform(plc_params, cfg, eval_pairs, plc_dir,
                                    PLCConfig(), ecfg, seed=args.seed)
     print(f"[demo] PLC eval in {time.time()-t0:.0f}s", flush=True)
+
+    if args.plc_category:
+        cat_head, _, _ = ckpt.load_checkpoint_tolerant(
+            os.path.join(plc_cat_dir, "best.msgpack"), plc_template)
+        cat_params = allpred_ar.CodecParams(backbones["audio"],
+                                            backbones["tactile"], cat_head)
+        t0 = time.time()
+        eval_plc_categories(cat_params, cfg, eval_pairs, plc_cat_dir,
+                            PLCConfig(), ecfg, seed=args.seed)
+        print(f"[demo] category PLC eval in {time.time()-t0:.0f}s", flush=True)
 
     # ---- summary -----------------------------------------------------------
     print("\n===== DEMO SUMMARY =====")

@@ -5,9 +5,12 @@ import os
 import numpy as np
 
 import jax
+import jax.numpy as jnp
+import pytest
 
 from multimodal_vqvae_compression_audio_tactile_tpu.core.config import TrainConfig
 from multimodal_vqvae_compression_audio_tactile_tpu.models import allpred_ar
+from multimodal_vqvae_compression_audio_tactile_tpu.train import checkpoint as ckpt
 from multimodal_vqvae_compression_audio_tactile_tpu.train.loop import train_codec
 
 from test_allpred_ar import tiny_codec_cfg
@@ -44,3 +47,50 @@ def test_resume_continues_epoch_count(tmp_path):
     assert len(hist4["train"]) == 4
     assert hist4["train"][:2] == hist2["train"]
     assert os.path.exists(os.path.join(out, "last.msgpack"))
+
+
+class TestAsyncCheckpointer:
+    """Background checkpoint writer (train/checkpoint.py AsyncCheckpointer):
+    overlaps slow device->host pulls with the next epoch's compute."""
+
+    def test_matches_sync_save(self, tmp_path):
+        tree = {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.ones((4,))}
+        sync_p = str(tmp_path / "sync.msgpack")
+        async_p = str(tmp_path / "async.msgpack")
+        ckpt.save_checkpoint(sync_p, tree, 3, {"val": [1.0]})
+        acp = ckpt.AsyncCheckpointer()
+        acp.save(async_p, tree, 3, {"val": [1.0]})
+        acp.close()
+        assert open(sync_p, "rb").read() == open(async_p, "rb").read()
+
+    def test_snapshot_isolated_from_later_mutation(self, tmp_path):
+        """The tree is snapshotted at save() time: later in-place hist edits
+        and rebinding must not leak into the written file."""
+        tree = {"w": jnp.zeros((2,))}
+        hist = {"val": [1.0]}
+        p = str(tmp_path / "c.msgpack")
+        acp = ckpt.AsyncCheckpointer()
+        acp.save(p, tree, 1, hist)
+        hist["val"].append(2.0)  # mutated after save, before drain
+        acp.close()
+        _, ep, h = ckpt.load_checkpoint(p, {"w": jnp.zeros((2,))})
+        assert ep == 1 and h == {"val": [1.0]}
+
+    def test_ordered_writes_last_wins(self, tmp_path):
+        p = str(tmp_path / "last.msgpack")
+        acp = ckpt.AsyncCheckpointer()
+        for ep in range(1, 6):
+            acp.save(p, {"w": jnp.full((2,), float(ep))}, ep, {})
+        acp.close()
+        tree, ep, _ = ckpt.load_checkpoint(p, {"w": jnp.zeros((2,))})
+        assert ep == 5
+        assert float(np.asarray(tree["w"])[0]) == 5.0
+
+    def test_error_propagates(self, tmp_path):
+        blocker = tmp_path / "blocker"
+        blocker.write_text("a regular file, not a directory")
+        acp = ckpt.AsyncCheckpointer()
+        acp.save(str(blocker / "sub" / "y.msgpack"), {"w": jnp.zeros(2)}, 1)
+        with pytest.raises(BaseException):
+            acp.wait()
+        acp._q.put(None)  # cleanup after swallowed error
