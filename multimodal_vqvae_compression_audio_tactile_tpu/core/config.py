@@ -33,6 +33,12 @@ class DacConfig:
     n_codebooks: int = 32
     codebook_size: int = 1024
     codebook_dim: int = 8
+    # matmul/conv precision for the encoder/decoder stacks: "highest" forces
+    # fp32-class multi-pass MXU matmuls (reproducible across backends, the
+    # training/eval default); "default" uses the MXU's native single-pass
+    # bf16 path (~3-6x faster convs, the serving fast path). The VQ score
+    # matmuls that pick code indices ALWAYS run at HIGHEST regardless.
+    precision: str = "highest"
 
     @property
     def hop(self) -> int:
@@ -67,6 +73,8 @@ class PredictorConfig:
     dim: int = 1024
     heads: int = 8
     mlp_mul: int = 2
+    # attention/FFN matmul precision; see DacConfig.precision
+    precision: str = "highest"
     dropout: float = 0.1
     max_len: int = 8192  # PosEnc1D cap (reference: compare_dacvsproposal_3.py:213)
 
@@ -104,6 +112,15 @@ class CodecConfig:
     def with_rvq(self, n_books: int, n_embed: int) -> "CodecConfig":
         return dataclasses.replace(
             self, rvq=dataclasses.replace(self.rvq, n_books=n_books, n_embed=n_embed)
+        )
+
+    def fast_serving(self) -> "CodecConfig":
+        """Serving-precision variant: native bf16 MXU matmuls everywhere
+        except the code-index-determining VQ scores (always HIGHEST)."""
+        return dataclasses.replace(
+            self,
+            dac=dataclasses.replace(self.dac, precision="default"),
+            predictor=dataclasses.replace(self.predictor, precision="default"),
         )
 
     def kbps(self, tokens_per_sec: float | None = None) -> float:

@@ -40,6 +40,24 @@ class Policy:
 DEFAULT = Policy()
 FP32 = Policy(compute_dtype=jnp.float32)
 
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def matmul_precision(name: str) -> jax.lax.Precision:
+    """Map a config precision string to a lax.Precision.
+
+    "highest" (training/eval default) emulates fp32 on the MXU via multi-pass
+    bf16 — reproducible across backends but 3-6x slower; "default" is the
+    MXU's native single-pass bf16 (the serving fast path,
+    CodecConfig.fast_serving()). VQ score matmuls that decide transmitted
+    code indices ignore this and always run HIGHEST (ops/rvq.py).
+    """
+    return _PRECISIONS[name]
+
 
 def f32(x: jax.Array) -> jax.Array:
     """Enter an fp32 island (mirrors the reference's ``autocast(enabled=False)``)."""

@@ -47,10 +47,15 @@ def evaluate_proposed_model(
     books_use = books_use or cfg.rvq.n_books
     sr24 = cfg.dac.sample_rate
 
+    # latency is timed on the serving-precision path (native bf16 matmuls),
+    # mirroring the reference's AMP-autocast timing
+    # (Evaluation/dac_vcpwq_proposed6_latency.py:512); quality metrics below
+    # still run the reproducible HIGHEST-precision path
+    scfg = cfg.fast_serving()
     enc_ms, dec_ms = measure_codec_latency(
-        lambda a, t: allpred_ar.encode_latents(params, cfg, a, t,
+        lambda a, t: allpred_ar.encode_latents(params, scfg, a, t,
                                                n_books_use=books_use)[0],
-        lambda z: dac.decode(params.tactile_dac, cfg.dac, z),
+        lambda z: dac.decode(params.tactile_dac, scfg.dac, z),
         sr_native=sr24, warmup=ecfg.latency_warmup, repeats=ecfg.latency_repeats)
 
     st_vals, ps_vals = [], []

@@ -31,9 +31,14 @@ class StreamingCodec:
     def __init__(self, params: allpred_ar.CodecParams, cfg: CodecConfig,
                  batch: int, frame_sec: float = 1.0,
                  n_books_use: Optional[int] = None,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, fast: bool = True):
         self.params = params
-        self.cfg = cfg
+        # serving default: native single-pass bf16 MXU matmuls for the conv
+        # stacks and attention (the VQ score matmuls that pick transmitted
+        # code indices stay HIGHEST — see CodecConfig.fast_serving). The
+        # reference's latency harness likewise times under AMP fp16
+        # (Evaluation/dac_vcpwq_proposed6_latency.py:512).
+        self.cfg = cfg = cfg.fast_serving() if fast else cfg
         self.batch = batch
         self.frame = int(frame_sec * cfg.dac.sample_rate)
         self.n_books_use = n_books_use or cfg.rvq.n_books

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import CodecConfig
+from ..core.precision import matmul_precision
 from ..nn.layers import (
     cross_predictor_apply,
     cross_predictor_init,
@@ -69,10 +70,11 @@ def head_init(key: jax.Array, cfg: CodecConfig) -> dict:
     }
 
 
-def _proj(p: dict, x_bct: jax.Array) -> jax.Array:
+def _proj(p: dict, x_bct: jax.Array,
+          precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """1x1 conv as einsum: [B, C, T] x [C, D] -> [B, D, T]."""
     y = jnp.einsum("bct,cd->bdt", x_bct, p["w"].astype(x_bct.dtype),
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=precision)
     return y + p["b"].astype(x_bct.dtype)[None, :, None]
 
 
@@ -136,9 +138,10 @@ def ar_roll(
             kv_valid=valid_c, dropout_rng=rng)
         r = zt_c - jax.lax.stop_gradient(z_pred)
         rN = jnp.tanh(token_norm_apply(head["tokennorm"], r))
-        rD = _proj(head["proj_down"], scale * rN)          # [B, D, chunk]
+        prec = matmul_precision(cfg.predictor.precision)
+        rD = _proj(head["proj_down"], scale * rN, precision=prec)  # [B, D, chunk]
         qD, idx = rvq_quantize(head["vq_books"], rD, n_books_use=n_books_use)
-        z_hat = z_pred + _proj(head["proj_up"], qD)
+        z_hat = z_pred + _proj(head["proj_up"], qD, precision=prec)
         return z_hat[..., -1:], (z_hat, jax.lax.stop_gradient(rD), idx)
 
     (_, (z_hats, rDs, idxs)) = jax.lax.scan(
@@ -266,7 +269,9 @@ def decode_from_codes(params: CodecParams, cfg: CodecConfig, a: jax.Array,
         z_pred = cross_predictor_apply(head["predict"], zt_prev, qa_c,
                                        cfg.predictor, kv_valid=valid_c)
         qD = rvq_decode(head["vq_books"], codes_c).astype(z_pred.dtype)
-        z_hat = z_pred + _proj(head["proj_up"], qD)
+        z_hat = z_pred + _proj(head["proj_up"], qD,
+                               precision=matmul_precision(
+                                   cfg.predictor.precision))
         return z_hat[..., -1:], z_hat
 
     _, z_hats = jax.lax.scan(body, jnp.zeros((B, C, 1), qa.dtype),

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import DacConfig
+from ..core.precision import matmul_precision
 
 
 # ---------------------------------------------------------------- conv helpers
@@ -45,7 +46,8 @@ def _conv_init(key: jax.Array, c_in: int, c_out: int, k: int) -> dict:
 
 
 def conv1d(p: dict, x: jax.Array, stride: int = 1, dilation: int = 1,
-           padding: str | int = "SAME") -> jax.Array:
+           padding: str | int = "SAME",
+           precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     w = p["w"].astype(x.dtype)
     if isinstance(padding, int):
         pad = [(padding, padding)]
@@ -54,12 +56,13 @@ def conv1d(p: dict, x: jax.Array, stride: int = 1, dilation: int = 1,
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,), padding=pad,
         rhs_dilation=(dilation,), dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     return y + p["b"].astype(x.dtype)[None, :, None]
 
 
-def conv1d_transpose(p: dict, x: jax.Array, stride: int) -> jax.Array:
+def conv1d_transpose(p: dict, x: jax.Array, stride: int,
+                     precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """Transposed conv with output length exactly T * stride.
 
     ``transpose_kernel=True`` gives the true gradient-of-conv semantics, matching
@@ -72,7 +75,7 @@ def conv1d_transpose(p: dict, x: jax.Array, stride: int) -> jax.Array:
         strides=(stride,), padding="SAME",
         dimension_numbers=("NCH", "HIO", "NCH"),
         transpose_kernel=True,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     return y + p["b"].astype(x.dtype)[None, :, None]
 
@@ -104,11 +107,13 @@ def _resunit_init(key: jax.Array, dim: int) -> dict:
     }
 
 
-def _resunit_apply(p: dict, x: jax.Array, dilation: int) -> jax.Array:
+def _resunit_apply(p: dict, x: jax.Array, dilation: int,
+                   precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     y = snake(p["snake1"], x)
-    y = conv1d(p["conv1"], y, dilation=dilation, padding=3 * dilation)
+    y = conv1d(p["conv1"], y, dilation=dilation, padding=3 * dilation,
+               precision=precision)
     y = snake(p["snake2"], y)
-    y = conv1d(p["conv2"], y)
+    y = conv1d(p["conv2"], y, precision=precision)
     return x + y
 
 
@@ -134,16 +139,18 @@ def _encoder_init(key: jax.Array, cfg: DacConfig) -> dict:
 
 
 def _encoder_apply(p: dict, cfg: DacConfig, x: jax.Array) -> jax.Array:
-    y = conv1d(p["in_conv"], x, padding=3)
+    prec = matmul_precision(cfg.precision)
+    y = conv1d(p["in_conv"], x, padding=3, precision=prec)
     for block, r in zip(p["blocks"], cfg.encoder_rates):
         for unit, dil in zip(block["units"], _DILATIONS):
-            y = _resunit_apply(unit, y, dil)
+            y = _resunit_apply(unit, y, dil, precision=prec)
         y = snake(block["snake"], y)
         # kernel 2r, stride r, total padding r (split asymmetrically for odd r)
         # => output length exactly T / r
-        y = conv1d(block["down"], y, stride=r, padding=[(r // 2, (r + 1) // 2)])
+        y = conv1d(block["down"], y, stride=r, padding=[(r // 2, (r + 1) // 2)],
+                   precision=prec)
     y = snake(p["out_snake"], y)
-    return conv1d(p["out_conv"], y, padding=1)
+    return conv1d(p["out_conv"], y, padding=1, precision=prec)
 
 
 # ---------------------------------------------------------------- decoder
@@ -168,14 +175,15 @@ def _decoder_init(key: jax.Array, cfg: DacConfig) -> dict:
 
 
 def _decoder_apply(p: dict, cfg: DacConfig, z: jax.Array) -> jax.Array:
-    y = conv1d(p["in_conv"], z, padding=3)
+    prec = matmul_precision(cfg.precision)
+    y = conv1d(p["in_conv"], z, padding=3, precision=prec)
     for block, r in zip(p["blocks"], cfg.decoder_rates):
         y = snake(block["snake"], y)
-        y = conv1d_transpose(block["up"], y, stride=r)
+        y = conv1d_transpose(block["up"], y, stride=r, precision=prec)
         for unit, dil in zip(block["units"], _DILATIONS):
-            y = _resunit_apply(unit, y, dil)
+            y = _resunit_apply(unit, y, dil, precision=prec)
     y = snake(p["out_snake"], y)
-    y = conv1d(p["out_conv"], y, padding=3)
+    y = conv1d(p["out_conv"], y, padding=3, precision=prec)
     return jnp.tanh(y)
 
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import PredictorConfig
+from ..core.precision import matmul_precision
 
 
 @lru_cache(maxsize=8)
@@ -55,9 +56,9 @@ def linear_init(key: jax.Array, d_in: int, d_out: int, bias: bool = True) -> dic
     return p
 
 
-def linear(params: dict, x: jax.Array) -> jax.Array:
-    y = jnp.dot(x, params["w"].astype(x.dtype),
-                precision=jax.lax.Precision.HIGHEST)
+def linear(params: dict, x: jax.Array,
+           precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    y = jnp.dot(x, params["w"].astype(x.dtype), precision=precision)
     if "b" in params:
         y = y + params["b"].astype(x.dtype)
     return y
@@ -120,6 +121,7 @@ def cross_predictor_apply(
     dropout on the attention output (reference rate cfg.dropout).
     """
     h, dh = cfg.heads, cfg.dim // cfg.heads
+    prec = matmul_precision(cfg.precision)
 
     q = jnp.swapaxes(add_posenc(zt_prev, cfg.max_len), -1, -2)   # [B, Tq, C]
     kv = jnp.swapaxes(add_posenc(za, cfg.max_len), -1, -2)       # [B, Tkv, C]
@@ -130,31 +132,31 @@ def cross_predictor_apply(
         B, T, C = x.shape
         return jnp.transpose(x.reshape(B, T, h, dh), (0, 2, 1, 3))
 
-    Q = split(linear(params["q_proj"], q))
-    K = split(linear(params["k_proj"], kv))
-    V = split(linear(params["v_proj"], kv))
+    Q = split(linear(params["q_proj"], q, precision=prec))
+    K = split(linear(params["k_proj"], kv, precision=prec))
+    V = split(linear(params["v_proj"], kv, precision=prec))
 
     attn = jnp.einsum("bhqd,bhkd->bhqk", Q, K,
-                      precision=jax.lax.Precision.HIGHEST) / math.sqrt(dh)
+                      precision=prec) / math.sqrt(dh)
     if kv_valid is not None:
         mask = kv_valid if kv_valid.ndim == 2 else kv_valid[None]
         attn = jnp.where(mask[:, None, None, :], attn, jnp.finfo(attn.dtype).min)
     attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(Q.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, V,
-                     precision=jax.lax.Precision.HIGHEST)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, V, precision=prec)
 
     B, _, Tq, _ = ctx.shape
     merged = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(B, Tq, cfg.dim)
     if dropout_rng is not None and cfg.dropout > 0.0:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - cfg.dropout, merged.shape)
         merged = jnp.where(keep, merged / (1.0 - cfg.dropout), 0.0)
-    y = linear(params["out"], merged)
+    y = linear(params["out"], merged, precision=prec)
 
     # eval/pre-LN residual wiring (see PredictorConfig docstring)
     y = y + q
     ff = layer_norm(params["ffn_ln"], y)
     # exact (erf) GELU, matching torch nn.GELU's default
     ff = linear(params["ffn_out"],
-                jax.nn.gelu(linear(params["ffn_in"], ff), approximate=False))
+                jax.nn.gelu(linear(params["ffn_in"], ff, precision=prec),
+                            approximate=False), precision=prec)
     y = y + ff
     return jnp.swapaxes(y, -1, -2)

@@ -68,3 +68,61 @@ class TestProfiling:
             annotate)
         with annotate("region"):
             _ = jnp.ones(4) + 1
+
+
+class TestPrecisionConfig:
+    """Serving fast path: configurable matmul precision (core/precision.py).
+
+    VQ score matmuls stay HIGHEST regardless (ops/rvq.py) — code indices are
+    the bitstream; the conv/attention stacks may drop to the MXU's native
+    single-pass bf16 for serving (CodecConfig.fast_serving)."""
+
+    def test_fast_serving_flips_precision_fields_only(self):
+        from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+            CodecConfig)
+        base = CodecConfig()
+        fast = base.fast_serving()
+        assert (base.dac.precision, base.predictor.precision) == \
+            ("highest", "highest")
+        assert (fast.dac.precision, fast.predictor.precision) == \
+            ("default", "default")
+        import dataclasses
+        assert dataclasses.replace(
+            fast,
+            dac=dataclasses.replace(fast.dac, precision="highest"),
+            predictor=dataclasses.replace(fast.predictor,
+                                          precision="highest")) == base
+
+    def test_matmul_precision_mapping(self):
+        import jax
+
+        from multimodal_vqvae_compression_audio_tactile_tpu.core.precision \
+            import matmul_precision
+        assert matmul_precision("highest") == jax.lax.Precision.HIGHEST
+        assert matmul_precision("default") == jax.lax.Precision.DEFAULT
+        with pytest.raises(KeyError):
+            matmul_precision("bogus")
+
+    def test_fast_path_output_close_and_finite(self):
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+            CodecConfig, DacConfig, PredictorConfig, RVQConfig)
+        from multimodal_vqvae_compression_audio_tactile_tpu.models import (
+            allpred_ar)
+
+        cfg = CodecConfig(
+            dac=DacConfig().tiny(),
+            predictor=PredictorConfig(dim=64, heads=4),
+            rvq=RVQConfig(code_dim=16, n_books=2, n_embed=16), ar_chunk_tok=4)
+        params = allpred_ar.codec_init(jax.random.key(0), cfg)
+        a = jnp.asarray(0.2 * np.random.default_rng(0).standard_normal(
+            (1, 1, 3200)), jnp.float32)
+        z_hi, c_hi = allpred_ar.encode_latents(params, cfg, a, a)
+        z_fa, c_fa = allpred_ar.encode_latents(params, cfg.fast_serving(), a, a)
+        assert bool(jnp.all(jnp.isfinite(z_fa)))
+        assert z_fa.shape == z_hi.shape and c_fa.shape == c_hi.shape
+        # fp32 inputs on CPU: both paths should agree tightly here; on TPU the
+        # fast path trades ~bf16 noise for 3-6x conv throughput
+        assert bool(jnp.allclose(z_hi, z_fa, atol=5e-2))
