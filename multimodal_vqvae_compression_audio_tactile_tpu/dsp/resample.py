@@ -52,17 +52,13 @@ def resample_kernel(
 
 
 @partial(jax.jit, static_argnames=("orig_freq", "new_freq", "lowpass_filter_width", "rolloff"))
-def resample(
+def _resample_jit(
     x: jax.Array,
     orig_freq: int,
     new_freq: int,
     lowpass_filter_width: int = 6,
     rolloff: float = 0.99,
 ) -> jax.Array:
-    """Resample x[..., T] from orig_freq to new_freq (fp32).
-
-    Output length is ``ceil(new_freq * T / orig_freq)`` as in torchaudio.
-    """
     if orig_freq == new_freq:
         return x.astype(jnp.float32)
     kernels, width, orig_g, new_g = resample_kernel(
@@ -81,3 +77,29 @@ def resample(
     y = jnp.swapaxes(y, 1, 2).reshape(xf.shape[0], -1)
     target_len = int(math.ceil(new_g * T / orig_g))
     return y[:, :target_len].reshape(*lead, target_len)
+
+
+def resample(
+    x,
+    orig_freq: int,
+    new_freq: int,
+    lowpass_filter_width: int = 6,
+    rolloff: float = 0.99,
+) -> jax.Array:
+    """Resample x[..., T] from orig_freq to new_freq (fp32).
+
+    Output length is ``ceil(new_freq * T / orig_freq)`` as in torchaudio.
+
+    This is a HOST-SIDE op (data loading, metrics — the reference's fp32
+    islands); it never appears inside the model compute path. Host inputs
+    (numpy) therefore compute on the CPU backend explicitly: on a tunneled
+    TPU, letting the default backend grab these tiny per-file graphs costs a
+    remote compile + two transfers per call and serializes the data loader
+    against training. Arrays already committed to a device stay there.
+    """
+    if not isinstance(x, jax.Array):
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            return _resample_jit(jax.device_put(np.asarray(x), cpu), orig_freq,
+                                 new_freq, lowpass_filter_width, rolloff)
+    return _resample_jit(x, orig_freq, new_freq, lowpass_filter_width, rolloff)

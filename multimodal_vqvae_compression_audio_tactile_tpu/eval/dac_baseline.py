@@ -68,17 +68,17 @@ def eval_backbone_codec(
         for _, t_path, _ in pairs:
             ref, sr_ref = load_wav_mono(t_path)
             scale = max(float(np.abs(ref).max()), 1e-8)
-            x24 = np.asarray(resample(jnp.asarray(ref / scale), sr_ref,
+            x24 = np.asarray(resample(np.asarray(ref / scale), sr_ref,
                                       cfg.sample_rate))
             y24 = np.asarray(_codec(jnp.asarray(x24[None])))[0]
-            est = np.asarray(resample(jnp.asarray(y24), cfg.sample_rate,
+            est = np.asarray(resample(np.asarray(y24), cfg.sample_rate,
                                       sr_ref)) * scale
 
             psnr, r_a, e_a = M.align_and_psnr_raw(ref, est, peak_global,
                                                   ecfg.max_align_shift)
             ps_vals.append(psnr)
-            r24 = np.asarray(resample(jnp.asarray(r_a), sr_ref, ecfg.eval_sr))
-            e24 = np.asarray(resample(jnp.asarray(e_a), sr_ref, ecfg.eval_sr))
+            r24 = np.asarray(resample(np.asarray(r_a), sr_ref, ecfg.eval_sr))
+            e24 = np.asarray(resample(np.asarray(e_a), sr_ref, ecfg.eval_sr))
             st_vals.append(M.stsim_batch(r24[None], e24[None])[0])
 
         st_m, st_ci = M.mean_ci95(st_vals)

@@ -101,8 +101,8 @@ def psnr_3k_aligned_batch(ref_24: np.ndarray, est_24: np.ndarray,
         r = ref_24[b].reshape(-1)
         e = est_24[b].reshape(-1)
         r_a, e_a, _ = align_by_xcorr(r, e, max_shift)
-        r3 = np.asarray(resample(jnp.asarray(r_a), eval_sr, orig_sr))
-        e3 = np.asarray(resample(jnp.asarray(e_a), eval_sr, orig_sr))
+        r3 = np.asarray(resample(np.asarray(r_a), eval_sr, orig_sr))
+        e3 = np.asarray(resample(np.asarray(e_a), eval_sr, orig_sr))
         vals += psnr_batch(r3[None], e3[None])
     return vals
 

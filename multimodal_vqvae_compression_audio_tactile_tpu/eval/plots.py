@@ -131,14 +131,14 @@ def plot_examples(best_run: dict, cfg, backbones: dict, pairs, out_dir: str,
         a_raw, sr_a = load_wav_mono(a_path)
         t_raw, sr_t = load_wav_mono(t_path)
         scale = max(float(np.abs(t_raw).max()), 1e-8)
-        a24 = np.asarray(resample(jnp.asarray(a_raw / scale), sr_a, sr24))
-        t24 = np.asarray(resample(jnp.asarray(t_raw / scale), sr_t, sr24))
+        a24 = np.asarray(resample(np.asarray(a_raw / scale), sr_a, sr24))
+        t24 = np.asarray(resample(np.asarray(t_raw / scale), sr_t, sr24))
         L = min(a24.shape[-1], t24.shape[-1])
         y24 = np.asarray(allpred_ar.forward_eval(
             params, run_cfg, jnp.asarray(a24[None, :, :L]),
             jnp.asarray(t24[None, :, :L]),
             n_books_use=int(best_run["books"])))[0]
-        est = np.asarray(resample(jnp.asarray(y24 * scale), sr24, sr_t))
+        est = np.asarray(resample(np.asarray(y24 * scale), sr24, sr_t))
         _, r_a, e_a = align_and_psnr_raw(t_raw, est, 1.0)
 
         T = r_a.shape[-1]
@@ -156,8 +156,8 @@ def plot_examples(best_run: dict, cfg, backbones: dict, pairs, out_dir: str,
                     dpi=180)
         plt.close(fig)
 
-        r24 = np.asarray(resample(jnp.asarray(r_a), sr_t, sr24))
-        e24 = np.asarray(resample(jnp.asarray(e_a), sr_t, sr24))
+        r24 = np.asarray(resample(np.asarray(r_a), sr_t, sr24))
+        e24 = np.asarray(resample(np.asarray(e_a), sr_t, sr24))
         Mr = 20 * np.log10(np.asarray(mel_mag(jnp.asarray(r24)))[0] + 1e-8)
         Me = 20 * np.log10(np.asarray(mel_mag(jnp.asarray(e24)))[0] + 1e-8)
         t_mel = np.arange(Mr.shape[-1]) * 128 / float(sr24)

@@ -64,15 +64,15 @@ def evaluate_proposed_model(
         a_raw, sr_a = load_wav_mono(a_path)
         t_raw, sr_t = load_wav_mono(t_path)
         scale = max(float(np.abs(t_raw).max()), 1e-8)
-        a24 = np.asarray(resample(jnp.asarray(a_raw / scale), sr_a, sr24))
-        t24 = np.asarray(resample(jnp.asarray(t_raw / scale), sr_t, sr24))
+        a24 = np.asarray(resample(np.asarray(a_raw / scale), sr_a, sr24))
+        t24 = np.asarray(resample(np.asarray(t_raw / scale), sr_t, sr24))
         # the predictor consumes equal-length latent streams: crop to common length
         L = min(a24.shape[-1], t24.shape[-1])
         z_run, codes = allpred_ar.encode_latents(
             params, cfg, jnp.asarray(a24[None, :, :L]),
             jnp.asarray(t24[None, :, :L]), n_books_use=books_use)
         y24 = np.asarray(dac.decode(params.tactile_dac, cfg.dac, z_run))[0]
-        est = np.asarray(resample(jnp.asarray(y24 * scale), sr24, sr_t))
+        est = np.asarray(resample(np.asarray(y24 * scale), sr24, sr_t))
         # real transmitter accounting: entropy-coded bytes for this file's codes
         total_bytes += len(bitstream.pack_codes(np.asarray(codes)[0],
                                                 cfg.rvq.n_embed))
@@ -80,7 +80,7 @@ def evaluate_proposed_model(
 
         if protocol == "3k":
             # reference [3K]: metrics on the 24 kHz signals, unit-scale domain
-            t24_ref = np.asarray(resample(jnp.asarray(t_raw / scale), sr_t,
+            t24_ref = np.asarray(resample(np.asarray(t_raw / scale), sr_t,
                                           ecfg.eval_sr))
             Lm = min(t24_ref.shape[-1], y24.shape[-1])
             ps_vals.append(M.psnr_3k_aligned_batch(
@@ -93,8 +93,8 @@ def evaluate_proposed_model(
             psnr, r_a, e_a = M.align_and_psnr_raw(t_raw, est, peak_global,
                                                   ecfg.max_align_shift)
             ps_vals.append(psnr)
-            r24 = np.asarray(resample(jnp.asarray(r_a), sr_t, ecfg.eval_sr))
-            e24 = np.asarray(resample(jnp.asarray(e_a), sr_t, ecfg.eval_sr))
+            r24 = np.asarray(resample(np.asarray(r_a), sr_t, ecfg.eval_sr))
+            e24 = np.asarray(resample(np.asarray(e_a), sr_t, ecfg.eval_sr))
             st_vals.append(M.stsim_batch(r24[None], e24[None])[0])
 
     st_m, st_ci = M.mean_ci95(st_vals)

@@ -53,13 +53,13 @@ def eval_vc_pwq(
             ref, sr_ref = load_wav_mono(t_path)
             est, sr_dec = load_wav_mono(dec[0])
             if sr_dec != sr_ref:
-                est = np.asarray(resample(jnp.asarray(est), sr_dec, sr_ref))
+                est = np.asarray(resample(np.asarray(est), sr_dec, sr_ref))
 
             psnr, r_a, e_a = M.align_and_psnr_raw(ref, est, peak_global,
                                                   ecfg.max_align_shift)
             ps_vals.append(psnr)
-            r24 = np.asarray(resample(jnp.asarray(r_a), sr_ref, ecfg.eval_sr))
-            e24 = np.asarray(resample(jnp.asarray(e_a), sr_ref, ecfg.eval_sr))
+            r24 = np.asarray(resample(np.asarray(r_a), sr_ref, ecfg.eval_sr))
+            e24 = np.asarray(resample(np.asarray(e_a), sr_ref, ecfg.eval_sr))
             st_vals.append(M.stsim_batch(r24[None], e24[None])[0])
 
             comp = sorted(glob.glob(os.path.join(vc_comp_dir,

@@ -53,8 +53,8 @@ def eval_plc_file(
     t_raw, sr_t = load_wav_mono(t_path)
     scale = max(float(np.abs(t_raw).max()), 1e-8)
 
-    a24 = np.asarray(resample(jnp.asarray(a_raw), sr_a, sr24))
-    t24n = np.asarray(resample(jnp.asarray(t_raw / scale), sr_t, sr24))
+    a24 = np.asarray(resample(np.asarray(a_raw), sr_a, sr24))
+    t24n = np.asarray(resample(np.asarray(t_raw / scale), sr_t, sr24))
     L = min(a24.shape[-1], t24n.shape[-1])
     a24, t24n = a24[..., :L], t24n[..., :L]
     a24 = np.clip(np.nan_to_num(a24, nan=0, posinf=0.9999, neginf=-0.9999), -1, 1)
@@ -67,7 +67,7 @@ def eval_plc_file(
         jnp.asarray(latent_mask[None]))
     y_norm = np.asarray(out.y_hat)[0, 0]
 
-    ref24 = np.asarray(resample(jnp.asarray(t_raw), sr_t, sr24))[0]
+    ref24 = np.asarray(resample(np.asarray(t_raw), sr_t, sr24))[0]
     est24 = y_norm * scale
     r_c, e_c = crop_match(ref24.reshape(1, -1), est24.reshape(1, -1))
     r_a, e_a, _ = align_by_xcorr(r_c, e_c, ecfg.max_align_shift)

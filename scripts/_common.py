@@ -11,6 +11,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def setup_jax(cpu: bool = False, virtual_devices: int = 0) -> None:
     """Must run before the first jax import."""
+    # persistent compile cache: TPU compiles go through a remote compile
+    # service (minutes per big graph); cached executables make reruns and
+    # multi-stage drivers (demo_end_to_end) pay each compile once
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_script_cache")
     if virtual_devices:
         flags = os.environ.get("XLA_FLAGS", "")
         os.environ["XLA_FLAGS"] = (
