@@ -43,7 +43,7 @@ def mel_fbanks_htk(
 
 
 @partial(jax.jit, static_argnames=("sr", "n_fft", "hop", "n_mels", "log", "eps"))
-def mel_mag(
+def _mel_mag_jit(
     x: jax.Array,
     sr: int = 24000,
     n_fft: int = 512,
@@ -72,3 +72,19 @@ def mel_mag(
     if log:
         M = jnp.log(M + eps)
     return M
+
+
+def mel_mag(x, sr: int = 24000, n_fft: int = 512, hop: int = 128,
+            n_mels: int = 64, log: bool = False, eps: float = 1e-8) -> jax.Array:
+    """Host-aware wrapper: numpy inputs compute on the CPU backend (metrics
+    are per-file host-side fp32 islands — dispatching them through a tunneled
+    TPU costs a roundtrip per file); traced/device inputs (losses inside jit)
+    pass straight through."""
+    if not isinstance(x, jax.Array):
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            return _mel_mag_jit(jax.device_put(np.asarray(x), cpu), sr=sr,
+                                n_fft=n_fft, hop=hop, n_mels=n_mels, log=log,
+                                eps=eps)
+    return _mel_mag_jit(x, sr=sr, n_fft=n_fft, hop=hop, n_mels=n_mels,
+                        log=log, eps=eps)

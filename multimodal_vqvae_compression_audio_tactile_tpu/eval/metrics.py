@@ -50,8 +50,8 @@ def stsim_batch(ref: np.ndarray, est: np.ndarray, sr: int = 24000) -> List[float
     """ref, est: [B, 1, T] (or [B, T]) at 24 kHz -> list of ST-SIM in [0, 1]."""
     r = ref[:, 0] if ref.ndim == 3 else ref
     e = est[:, 0] if est.ndim == 3 else est
-    Mr = np.asarray(mel_mag(jnp.asarray(r), sr=sr))
-    Me = np.asarray(mel_mag(jnp.asarray(e), sr=sr))
+    Mr = np.asarray(mel_mag(np.asarray(r), sr=sr))
+    Me = np.asarray(mel_mag(np.asarray(e), sr=sr))
     Tf = max(Mr.shape[-1], Me.shape[-1])
     Mr = _interp_frames_np(Mr, Tf)
     Me = _interp_frames_np(Me, Tf)
@@ -210,8 +210,8 @@ def stsim_mel_with_mask(ref: np.ndarray, est: np.ndarray,
                         mel_hop: int = 128) -> Tuple[float, float, float]:
     """SSIM-based ST-SIM on mel magnitudes: (global, masked frames, unmasked frames)
     (reference: PLC/PLC1_eval.py:270-330)."""
-    X = np.asarray(mel_mag(jnp.asarray(ref.reshape(1, -1)), sr=sr))[0]
-    Y = np.asarray(mel_mag(jnp.asarray(est.reshape(1, -1)), sr=sr))[0]
+    X = np.asarray(mel_mag(np.asarray(ref.reshape(1, -1)), sr=sr))[0]
+    Y = np.asarray(mel_mag(np.asarray(est.reshape(1, -1)), sr=sr))[0]
     stsim_global = _stsim_core(X, Y)
 
     n_frames = X.shape[-1]

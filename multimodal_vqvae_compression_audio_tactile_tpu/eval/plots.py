@@ -158,8 +158,8 @@ def plot_examples(best_run: dict, cfg, backbones: dict, pairs, out_dir: str,
 
         r24 = np.asarray(resample(np.asarray(r_a), sr_t, sr24))
         e24 = np.asarray(resample(np.asarray(e_a), sr_t, sr24))
-        Mr = 20 * np.log10(np.asarray(mel_mag(jnp.asarray(r24)))[0] + 1e-8)
-        Me = 20 * np.log10(np.asarray(mel_mag(jnp.asarray(e24)))[0] + 1e-8)
+        Mr = 20 * np.log10(np.asarray(mel_mag(np.asarray(r24)))[0] + 1e-8)
+        Me = 20 * np.log10(np.asarray(mel_mag(np.asarray(e24)))[0] + 1e-8)
         t_mel = np.arange(Mr.shape[-1]) * 128 / float(sr24)
         fig, axes = plt.subplots(1, 2, figsize=(10, 3), sharey=True)
         for ax_i, (M, title) in zip(axes, [(Mr, "Original"),

@@ -68,7 +68,7 @@ def plot_plc_example(
 
         from ..dsp.mel import mel_mag
 
-        mel_fn = lambda x: np.asarray(mel_mag(jnp.asarray(x[None]), sr=sr))[0]
+        mel_fn = lambda x: np.asarray(mel_mag(np.asarray(x[None]), sr=sr))[0]
 
     Mr = 20 * np.log10(mel_fn(ref) + 1e-8)
     Me = 20 * np.log10(mel_fn(est) + 1e-8)
