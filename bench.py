@@ -26,7 +26,7 @@ def main() -> None:
     from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
         CodecConfig, RVQConfig)
     from multimodal_vqvae_compression_audio_tactile_tpu.eval.latency import (
-        measure_ms)
+        measure_ms_stats)
     from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving import (
         StreamingCodec)
     from multimodal_vqvae_compression_audio_tactile_tpu.models import allpred_ar
@@ -41,8 +41,9 @@ def main() -> None:
     a = jnp.zeros((1, 1, sc1.frame), jnp.float32)
     t = jnp.zeros((1, 1, sc1.frame), jnp.float32)
     z, _ = sc1.encode(a, t)
-    enc_ms = measure_ms(lambda: sc1.encode(a, t), warmup=3, repeats=10)
-    dec_ms = measure_ms(lambda: sc1.decode(z), warmup=3, repeats=10)
+    enc = measure_ms_stats(lambda: sc1.encode(a, t), warmup=3, repeats=10)
+    dec = measure_ms_stats(lambda: sc1.decode(z), warmup=3, repeats=10)
+    enc_ms, dec_ms = enc["mean"], dec["mean"]
 
     # batched streaming throughput
     sc = StreamingCodec(params, cfg, batch=32)
@@ -55,6 +56,9 @@ def main() -> None:
         "vs_baseline": round(BASELINE_ENC_MS / enc_ms, 3),
         "extra": {
             "decode_ms": round(dec_ms, 3),
+            "encode_p50_ms": round(enc["p50"], 3),
+            "encode_p95_ms": round(enc["p95"], 3),
+            "decode_p50_ms": round(dec["p50"], 3),
             "decode_vs_baseline": round(BASELINE_DEC_MS / dec_ms, 3),
             "encode_frames_per_sec_b32": round(tp["encode_frames_per_sec"], 1),
             "decode_frames_per_sec_b32": round(tp["decode_frames_per_sec"], 1),

@@ -20,6 +20,16 @@ import numpy as np
 def measure_ms(fn: Callable[[], object], warmup: int = 3, repeats: int = 10
                ) -> float:
     """Mean wall-clock ms per call with block_until_ready fencing."""
+    return measure_ms_stats(fn, warmup, repeats)["mean"]
+
+
+def measure_ms_stats(fn: Callable[[], object], warmup: int = 3,
+                     repeats: int = 10) -> dict:
+    """Fenced latency distribution: mean/p50/p95/min/max ms per call.
+
+    The reference reports only the mean (:330); production serving cares
+    about tail percentiles, so the full distribution is exposed too.
+    """
     for _ in range(warmup):
         jax.block_until_ready(fn())
     times = []
@@ -27,7 +37,14 @@ def measure_ms(fn: Callable[[], object], warmup: int = 3, repeats: int = 10
         t0 = time.perf_counter()
         jax.block_until_ready(fn())
         times.append((time.perf_counter() - t0) * 1000.0)
-    return float(np.mean(times))
+    arr = np.asarray(times)
+    return {
+        "mean": float(arr.mean()),
+        "p50": float(np.percentile(arr, 50)),
+        "p95": float(np.percentile(arr, 95)),
+        "min": float(arr.min()),
+        "max": float(arr.max()),
+    }
 
 
 def measure_codec_latency(
