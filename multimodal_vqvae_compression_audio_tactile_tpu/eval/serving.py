@@ -31,14 +31,30 @@ class StreamingCodec:
     def __init__(self, params: allpred_ar.CodecParams, cfg: CodecConfig,
                  batch: int, frame_sec: float = 1.0,
                  n_books_use: Optional[int] = None,
-                 compute_dtype=jnp.bfloat16, fast: bool = True):
-        self.params = params
+                 compute_dtype=jnp.bfloat16, fast: bool = True,
+                 mesh=None):
         # serving default: native single-pass bf16 MXU matmuls for the conv
         # stacks and attention (the VQ score matmuls that pick transmitted
         # code indices stay HIGHEST — see CodecConfig.fast_serving). The
         # reference's latency harness likewise times under AMP fp16
         # (Evaluation/dac_vcpwq_proposed6_latency.py:512).
         self.cfg = cfg = cfg.fast_serving() if fast else cfg
+        # multi-chip serving: params replicated, batch sharded over the data
+        # axis; GSPMD partitions the same jitted programs (batch must divide
+        # the data-axis size)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            if batch % mesh.shape[pmesh.DATA_AXIS] != 0:
+                raise ValueError(
+                    f"batch {batch} not divisible by data axis "
+                    f"{mesh.shape[pmesh.DATA_AXIS]}")
+            params = allpred_ar.CodecParams(
+                *pmesh.shard_replicated(mesh, tuple(params)))
+            self._put = lambda x: pmesh.shard_batch(mesh, x)
+        else:
+            self._put = jax.device_put
+        self.params = params
         self.batch = batch
         self.frame = int(frame_sec * cfg.dac.sample_rate)
         self.n_books_use = n_books_use or cfg.rvq.n_books
@@ -67,9 +83,12 @@ class StreamingCodec:
             return allpred_ar.decode_from_codes(
                 p, cfg, a.astype(cdt), codes).astype(jnp.float32)
 
-        self._encode = lambda a, tc: _encode(self.params, a, tc)
+        self._encode = lambda a, tc: _encode(self.params, self._put(a),
+                                             self._put(tc))
         self._decode = lambda z: _decode(self.params, z)
-        self._decode_codes = lambda a, c: _decode_codes(self.params, a, c)
+        self._decode_codes = lambda a, c: _decode_codes(self.params,
+                                                        self._put(a),
+                                                        self._put(c))
         # warmup/compile
         a = jnp.zeros((batch, 1, self.frame), jnp.float32)
         t = jnp.zeros((batch, 1, self.frame), jnp.float32)

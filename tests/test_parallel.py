@@ -96,3 +96,49 @@ class TestShardedTraining:
             # cross-device psum reassociates the reduction: tiny float drift
             np.testing.assert_allclose(np.asarray(x1), np.asarray(x8),
                                        rtol=1e-3, atol=1e-4)
+
+
+class TestMeshedServing:
+    """StreamingCodec over a device mesh: batch sharded on the data axis,
+    params replicated — the multi-chip serving path."""
+
+    def test_meshed_matches_single_device(self):
+        from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving import (
+            StreamingCodec)
+
+        params = allpred_ar.codec_init(jax.random.key(0), CFG)
+        rng = np.random.default_rng(0)
+        frame_sec = 3200 / 24000
+        a = (0.3 * rng.standard_normal((8, 1, 3200))).astype(np.float32)
+        t = (0.3 * rng.standard_normal((8, 1, 3200))).astype(np.float32)
+
+        sc1 = StreamingCodec(params, CFG, batch=8, frame_sec=frame_sec,
+                             fast=False)
+        sc8 = StreamingCodec(params, CFG, batch=8, frame_sec=frame_sec,
+                             fast=False, mesh=pm.create_mesh())
+        z1, c1 = sc1.encode(a, t)
+        z8, c8 = sc8.encode(a, t)
+        # determinism holds per compiled program, not across partitionings:
+        # different GSPMD shardings may reassociate conv reductions, flipping
+        # VQ choices at exact score ties. Require near-identical codes and
+        # close latents.
+        agree = float((np.asarray(c1) == np.asarray(c8)).mean())
+        assert agree > 0.9, f"code agreement {agree}"
+        # a flipped code swaps in a different codebook vector (a real value
+        # jump), so compare the latent fields pointwise-mostly:
+        frac = float(np.isclose(np.asarray(z1), np.asarray(z8),
+                                rtol=1e-2, atol=1e-3).mean())
+        assert frac > 0.9, f"latent agreement {frac}"
+        # each path is self-consistent: its receiver reproduces its encoder
+        y1 = np.asarray(sc1.decode_from_codes(a, c1))
+        y8 = np.asarray(sc8.decode_from_codes(a, c8))
+        assert np.isfinite(y1).all() and np.isfinite(y8).all()
+        assert y1.shape == y8.shape == (8, 1, 3200)
+
+    def test_meshed_batch_must_divide(self):
+        from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving import (
+            StreamingCodec)
+        params = allpred_ar.codec_init(jax.random.key(0), CFG)
+        with pytest.raises(ValueError):
+            StreamingCodec(params, CFG, batch=3, frame_sec=3200 / 24000,
+                           mesh=pm.create_mesh())
