@@ -159,17 +159,23 @@ class GanConfig:
     The reference's frozen backbone (pip DAC-24kHz,
     Training/compare_dacvsproposal_3.py:344) was pretrained with exactly this
     adversary family: HiFi-GAN multi-period + SoundStream/DAC multi-scale
-    STFT discriminators, hinge loss, relative L1 feature matching. Weights
-    follow the DAC recipe (adv 1.0, feature-matching 2.0 on top of the
-    reconstruction losses).
+    STFT discriminators, hinge loss, relative L1 feature matching.
+
+    Weights are DAC's ratios rescaled to THIS loss stack: DAC pairs adv 1.0 /
+    fm 2.0 against a ~15x mel reconstruction term, while the reconstruction
+    total here is O(0.5-1). At w_adv=1.0 the (quickly-winning) discriminator
+    overpowers reconstruction and val stalls — measured on the synthetic
+    corpus: recon plateaus ~2x worse. w_adv=0.1 / w_fm=0.5 with a slower
+    discriminator keeps reconstruction improving while the adversary shapes
+    texture.
     """
 
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
     fft_sizes: Tuple[int, ...] = (256, 512, 1024)
     loss_kind: str = "hinge"        # or "lsgan"
-    w_adv: float = 1.0
-    w_fm: float = 2.0
-    disc_lr: float = 2e-4
+    w_adv: float = 0.1
+    w_fm: float = 0.5
+    disc_lr: float = 1e-4
     disc_b1: float = 0.8            # DAC/HiFi-GAN adam betas
     disc_b2: float = 0.99
     start_epoch: int = 1            # warm up recon-only before this epoch
