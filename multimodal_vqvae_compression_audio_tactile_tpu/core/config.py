@@ -39,6 +39,11 @@ class DacConfig:
     # bf16 path (~3-6x faster convs, the serving fast path). The VQ score
     # matmuls that pick code indices ALWAYS run at HIGHEST regardless.
     precision: str = "highest"
+    # serve the residual-unit stacks through the fused snake+conv Pallas
+    # kernel (ops/resunit_pallas.py): one HBM read+write per unit stack
+    # instead of per op. Inference-only (no VJP) — training keeps the XLA
+    # path; enabled by CodecConfig.fast_serving().
+    fused_resunits: bool = False
 
     @property
     def hop(self) -> int:
@@ -119,7 +124,8 @@ class CodecConfig:
         except the code-index-determining VQ scores (always HIGHEST)."""
         return dataclasses.replace(
             self,
-            dac=dataclasses.replace(self.dac, precision="default"),
+            dac=dataclasses.replace(self.dac, precision="default",
+                                    fused_resunits=True),
             predictor=dataclasses.replace(self.predictor, precision="default"),
         )
 

@@ -138,13 +138,37 @@ def _encoder_init(key: jax.Array, cfg: DacConfig) -> dict:
     return params
 
 
+# below this batch size the fused kernel's launch/pipeline overhead loses to
+# XLA (measured on v5e-1: b1 encode 0.35 vs 0.29 ms fused/XLA, b32 0.30 vs
+# 0.47 — scripts/bench_fused_resunits.py); batch is static at trace time
+_FUSED_MIN_BATCH = 8
+
+
+def _unit_stack(block_units: list, y: jax.Array, cfg: DacConfig,
+                prec, post_alpha: Optional[jax.Array] = None) -> jax.Array:
+    """Residual-unit stack: fused Pallas kernel on the serving fast path
+    (cfg.fused_resunits, inference-only), sequential XLA ops otherwise.
+    ``post_alpha`` folds a trailing block-level snake into the fused call."""
+    if cfg.fused_resunits and y.shape[0] >= _FUSED_MIN_BATCH:
+        from ..ops import resunit_pallas
+        if resunit_pallas.fuse_plan(
+                y.shape[1], len(block_units), jnp.dtype(y.dtype).itemsize):
+            return resunit_pallas.resunit_stack(
+                block_units, y, _DILATIONS[:len(block_units)],
+                post_snake_alpha=post_alpha)
+    for unit, dil in zip(block_units, _DILATIONS):
+        y = _resunit_apply(unit, y, dil, precision=prec)
+    if post_alpha is not None:
+        y = snake({"alpha": post_alpha}, y)
+    return y
+
+
 def _encoder_apply(p: dict, cfg: DacConfig, x: jax.Array) -> jax.Array:
     prec = matmul_precision(cfg.precision)
     y = conv1d(p["in_conv"], x, padding=3, precision=prec)
     for block, r in zip(p["blocks"], cfg.encoder_rates):
-        for unit, dil in zip(block["units"], _DILATIONS):
-            y = _resunit_apply(unit, y, dil, precision=prec)
-        y = snake(block["snake"], y)
+        y = _unit_stack(block["units"], y, cfg, prec,
+                        post_alpha=block["snake"]["alpha"])
         # kernel 2r, stride r, total padding r (split asymmetrically for odd r)
         # => output length exactly T / r
         y = conv1d(block["down"], y, stride=r, padding=[(r // 2, (r + 1) // 2)],
@@ -177,12 +201,14 @@ def _decoder_init(key: jax.Array, cfg: DacConfig) -> dict:
 def _decoder_apply(p: dict, cfg: DacConfig, z: jax.Array) -> jax.Array:
     prec = matmul_precision(cfg.precision)
     y = conv1d(p["in_conv"], z, padding=3, precision=prec)
-    for block, r in zip(p["blocks"], cfg.decoder_rates):
+    n_blocks = len(p["blocks"])
+    for bi, (block, r) in enumerate(zip(p["blocks"], cfg.decoder_rates)):
         y = snake(block["snake"], y)
         y = conv1d_transpose(block["up"], y, stride=r, precision=prec)
-        for unit, dil in zip(block["units"], _DILATIONS):
-            y = _resunit_apply(unit, y, dil, precision=prec)
-    y = snake(p["out_snake"], y)
+        # fold the decoder's trailing out_snake into the last block's unit
+        # stack (it runs at full output length — the widest tensor)
+        post = p["out_snake"]["alpha"] if bi == n_blocks - 1 else None
+        y = _unit_stack(block["units"], y, cfg, prec, post_alpha=post)
     y = conv1d(p["out_conv"], y, padding=3, precision=prec)
     return jnp.tanh(y)
 

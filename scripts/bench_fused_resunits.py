@@ -1,0 +1,52 @@
+"""A/B the fused snake+conv residual-unit Pallas kernel on the serving path.
+
+Times StreamingCodec encode/decode at the 5.25 kbps flagship point with the
+fused kernel on vs off (both otherwise the bf16 fast-serving config), plus the
+batched throughput. Run on the TPU; prints a small JSON report.
+"""
+
+import dataclasses
+import json
+import sys
+
+sys.path.insert(0, ".")
+from scripts import _common  # noqa: F401  (pins CPU-host DSP, compile cache)
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+    CodecConfig, RVQConfig)
+from multimodal_vqvae_compression_audio_tactile_tpu.eval.latency import (
+    measure_ms_stats)
+from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving import (
+    StreamingCodec)
+from multimodal_vqvae_compression_audio_tactile_tpu.models import allpred_ar
+
+
+def bench(cfg: CodecConfig, params, batch: int) -> dict:
+    sc = StreamingCodec(params, cfg, batch=batch, fast=False)  # cfg preset
+    a = jnp.zeros((batch, 1, sc.frame), jnp.float32)
+    t = jnp.zeros((batch, 1, sc.frame), jnp.float32)
+    z, _ = sc.encode(a, t)
+    enc = measure_ms_stats(lambda: sc.encode(a, t), warmup=3, repeats=20)
+    dec = measure_ms_stats(lambda: sc.decode(z), warmup=3, repeats=20)
+    return {"encode_ms": enc["mean"], "encode_p50": enc["p50"],
+            "decode_ms": dec["mean"], "decode_p50": dec["p50"]}
+
+
+def main() -> None:
+    base = CodecConfig(rvq=RVQConfig(n_books=10, n_embed=128)).fast_serving()
+    off = dataclasses.replace(
+        base, dac=dataclasses.replace(base.dac, fused_resunits=False))
+    params = allpred_ar.codec_init(jax.random.key(7), base)
+
+    report = {"backend": jax.default_backend()}
+    for batch in (1, 32):
+        report[f"b{batch}_xla"] = bench(off, params, batch)
+        report[f"b{batch}_fused"] = bench(base, params, batch)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,13 @@ def main() -> None:
                     help="recon-only warmup epochs (default: half the run)")
     ap.add_argument("--plc-category", action="store_true",
                     help="also train + eval the category-burst PLC model")
+    ap.add_argument("--only-plc-category", action="store_true",
+                    help="focused run: corpus + backbone (reused if present) + "
+                         "category PLC train/eval; skips sweep, uniform PLC "
+                         "and the codec benchmark")
     args = ap.parse_args()
+    if args.only_plc_category:
+        args.plc_category = True
     _common.setup_jax(cpu=args.cpu)
 
     import dataclasses
@@ -147,27 +153,30 @@ def main() -> None:
         books_grid=tuple(int(x) for x in args.books_grid.split(",")),
         embed_grid=tuple(int(x) for x in args.embed_grid.split(",")))
     t0 = time.time()
-    run_sweep(
-        cfg, tcfg_cd, sweep, backbones,
-        train_batches=lambda ep: batch_iterator(ds_tr, args.batch,
-                                                seed=args.seed, epoch=ep),
-        val_batches=lambda: batch_iterator(ds_va, args.batch, shuffle=False,
-                                           drop_last=False),
-        out_root=sweep_root, save_every=5)
-    print(f"[demo] sweep trained in {time.time()-t0:.0f}s", flush=True)
+    if not args.only_plc_category:
+        run_sweep(
+            cfg, tcfg_cd, sweep, backbones,
+            train_batches=lambda ep: batch_iterator(ds_tr, args.batch,
+                                                    seed=args.seed, epoch=ep),
+            val_batches=lambda: batch_iterator(ds_va, args.batch,
+                                               shuffle=False, drop_last=False),
+            out_root=sweep_root, save_every=5)
+        print(f"[demo] sweep trained in {time.time()-t0:.0f}s", flush=True)
 
     # ---- 4. PLC -----------------------------------------------------------
     plc_dir = os.path.join(root, "plc_uniform")
     tcfg_plc = TrainConfig(epochs=args.plc_epochs, batch=args.batch,
                            seed=args.seed, best_after_epoch=0)
-    t0 = time.time()
-    train_plc(cfg, tcfg_plc, PLCConfig(), backbones,
-              train_batches=lambda ep: batch_iterator(ds_tr, args.batch,
-                                                      seed=args.seed, epoch=ep),
-              val_batches=lambda: batch_iterator(ds_va, args.batch,
-                                                 shuffle=False, drop_last=False),
-              out_dir=plc_dir, mode="uniform", seed=args.seed, save_every=5)
-    print(f"[demo] PLC trained in {time.time()-t0:.0f}s", flush=True)
+    if not args.only_plc_category:
+        t0 = time.time()
+        train_plc(cfg, tcfg_plc, PLCConfig(), backbones,
+                  train_batches=lambda ep: batch_iterator(
+                      ds_tr, args.batch, seed=args.seed, epoch=ep),
+                  val_batches=lambda: batch_iterator(
+                      ds_va, args.batch, shuffle=False, drop_last=False),
+                  out_dir=plc_dir, mode="uniform", seed=args.seed,
+                  save_every=5)
+        print(f"[demo] PLC trained in {time.time()-t0:.0f}s", flush=True)
 
     plc_cat_dir = os.path.join(root, "plc_category")
     if args.plc_category:
@@ -187,7 +196,7 @@ def main() -> None:
         os.path.abspath(__file__))), "native", "vcpwq", "vcpwq_codec")
     vc_dec = os.path.join(root, "vc_decoded")
     vc_comp = os.path.join(root, "vc_compressed")
-    if os.path.exists(codec_bin):
+    if os.path.exists(codec_bin) and not args.only_plc_category:
         for b in (8, 24, 48):
             subprocess.run([codec_bin, "batch", tact_dir, vc_dec, vc_comp,
                             str(b)], check=True)
@@ -199,40 +208,44 @@ def main() -> None:
     peak_global = M.compute_global_peak([t for _, t, _ in eval_pairs])
     ecfg = EvalConfig()
 
-    t0 = time.time()
-    dac24 = eval_backbone_codec(backbones["tactile"], cfg.dac, eval_pairs,
-                                peak_global, ecfg, n_q_list=(1, 2, 4, 8))
-    proposed_rows = eval_proposed_runs(sweep_root, cfg, backbones, eval_pairs,
-                                       peak_global, ecfg)
-    vc_rows = []
-    if os.path.isdir(vc_dec):
-        vc_rows = eval_vc_pwq(vc_dec, vc_comp, tact_dir, peak_global, ecfg,
-                              b_list=(8, 24, 48))
-    combined = {
-        "dac_24khz": dac24,
-        "proposed_runs": proposed_rows,
-        "vc_pwq_runs": vc_rows,
-        "config": {
-            "eval_sr": ecfg.eval_sr, "peak_global_raw": peak_global,
-            "n_pairs": len(eval_pairs), "synthetic_corpus": True,
-        },
-    }
-    with open(os.path.join(out_dir,
-                           "eval_all_vs_backbone_rawPSNR_latency.json"), "w") as f:
-        json.dump(combined, f, indent=2)
-    plots.rate_distortion_plots(dac24, proposed_rows, vc_rows, out_dir)
-    print(f"[demo] codec eval in {time.time()-t0:.0f}s", flush=True)
+    dac24, proposed_rows, vc_rows = {}, [], []
+    if not args.only_plc_category:
+        t0 = time.time()
+        dac24 = eval_backbone_codec(backbones["tactile"], cfg.dac, eval_pairs,
+                                    peak_global, ecfg, n_q_list=(1, 2, 4, 8))
+        proposed_rows = eval_proposed_runs(sweep_root, cfg, backbones,
+                                           eval_pairs, peak_global, ecfg)
+        if os.path.isdir(vc_dec):
+            vc_rows = eval_vc_pwq(vc_dec, vc_comp, tact_dir, peak_global,
+                                  ecfg, b_list=(8, 24, 48))
+        combined = {
+            "dac_24khz": dac24,
+            "proposed_runs": proposed_rows,
+            "vc_pwq_runs": vc_rows,
+            "config": {
+                "eval_sr": ecfg.eval_sr, "peak_global_raw": peak_global,
+                "n_pairs": len(eval_pairs), "synthetic_corpus": True,
+            },
+        }
+        with open(os.path.join(
+                out_dir, "eval_all_vs_backbone_rawPSNR_latency.json"),
+                "w") as f:
+            json.dump(combined, f, indent=2)
+        plots.rate_distortion_plots(dac24, proposed_rows, vc_rows, out_dir)
+        print(f"[demo] codec eval in {time.time()-t0:.0f}s", flush=True)
 
     # ---- 5c. PLC eval ------------------------------------------------------
     plc_template = plc_model.plc_head_init(jax.random.key(0), cfg)
-    plc_head, _, _ = ckpt.load_checkpoint_tolerant(
-        os.path.join(plc_dir, "best.msgpack"), plc_template)
-    plc_params = allpred_ar.CodecParams(backbones["audio"],
-                                        backbones["tactile"], plc_head)
-    t0 = time.time()
-    plc_summary = eval_plc_uniform(plc_params, cfg, eval_pairs, plc_dir,
-                                   PLCConfig(), ecfg, seed=args.seed)
-    print(f"[demo] PLC eval in {time.time()-t0:.0f}s", flush=True)
+    plc_summary = None
+    if not args.only_plc_category:
+        plc_head, _, _ = ckpt.load_checkpoint_tolerant(
+            os.path.join(plc_dir, "best.msgpack"), plc_template)
+        plc_params = allpred_ar.CodecParams(backbones["audio"],
+                                            backbones["tactile"], plc_head)
+        t0 = time.time()
+        plc_summary = eval_plc_uniform(plc_params, cfg, eval_pairs, plc_dir,
+                                       PLCConfig(), ecfg, seed=args.seed)
+        print(f"[demo] PLC eval in {time.time()-t0:.0f}s", flush=True)
 
     if args.plc_category:
         cat_head, _, _ = ckpt.load_checkpoint_tolerant(
@@ -256,8 +269,9 @@ def main() -> None:
     for r in vc_rows:
         print(f"  vcpwq b={r['b']}: {r['kbps']:.2f} kbps | "
               f"PSNR {r['psnr_mean']:.2f} dB | ST-SIM {r['stsim_mean']:.4f}")
-    print(f"  PLC: PSNR {plc_summary['mean_psnr_global_db']:.2f} dB | "
-          f"ST-SIM {plc_summary['mean_stsim_global']:.4f}")
+    if plc_summary is not None:
+        print(f"  PLC: PSNR {plc_summary['mean_psnr_global_db']:.2f} dB | "
+              f"ST-SIM {plc_summary['mean_stsim_global']:.4f}")
     print(f"[demo] total {time.time()-t_start:.0f}s")
 
 

@@ -142,3 +142,23 @@ class TestMeshedServing:
         with pytest.raises(ValueError):
             StreamingCodec(params, CFG, batch=3, frame_sec=3200 / 24000,
                            mesh=pm.create_mesh())
+
+
+class TestMeshedFastServing:
+    def test_meshed_fast_serving_with_fused_kernel(self):
+        """fast=True serving (bf16 + fused resunit Pallas kernel at batch>=8)
+        composes with GSPMD batch sharding. On CPU the kernel runs in
+        interpreter mode; compiled single-chip parity is checked on hardware
+        by scripts/check_fused_tpu_parity.py."""
+        from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving import (
+            StreamingCodec)
+
+        params = allpred_ar.codec_init(jax.random.key(0), CFG)
+        rng = np.random.default_rng(0)
+        a = (0.3 * rng.standard_normal((8, 1, 3200))).astype(np.float32)
+        t = (0.3 * rng.standard_normal((8, 1, 3200))).astype(np.float32)
+        sc = StreamingCodec(params, CFG, batch=8, frame_sec=3200 / 24000,
+                            fast=True, mesh=pm.create_mesh())
+        z, c = sc.encode(a, t)
+        y = np.asarray(sc.decode(z))
+        assert y.shape == (8, 1, 3200) and np.isfinite(y).all()
