@@ -191,11 +191,14 @@ def resunit_stack(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    C = x.shape[1]
+    C, T = x.shape[1], x.shape[2]
     cdt = x.dtype
     plan = fuse_plan(C, len(units), jnp.dtype(cdt).itemsize)
     assert plan is not None, "caller must fall back to XLA when plan is None"
     per_call, t_tile = plan
+    # short sequences (e.g. the strided blocks at T=600): don't compute a
+    # 2048-lane tile for a 600-sample signal
+    t_tile = min(t_tile, max(128, -(-T // 128) * 128))
 
     i = 0
     while i < len(units):
