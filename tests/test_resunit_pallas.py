@@ -127,3 +127,40 @@ def test_backbone_fused_flag_end_to_end():
     y_fus = dac.decode(params, cfg_fused, z_ref)
     np.testing.assert_allclose(np.asarray(y_fus), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_bf16_interpret_parity():
+    """bf16 compute path (the serving dtype) in interpreter mode: matches the
+    XLA bf16 chain within bf16 rounding."""
+    c, t = 64, 512
+    units = _make_units(jax.random.key(8), c, 3)
+    x = jax.random.normal(jax.random.key(9), (2, c, t),
+                          jnp.float32).astype(jnp.bfloat16)
+    ref = _xla_stack(units, x, dac._DILATIONS).astype(jnp.float32)
+    got = resunit_pallas.resunit_stack(units, x, dac._DILATIONS,
+                                       interpret=True).astype(jnp.float32)
+    r, g = np.asarray(ref), np.asarray(got)
+    rel = np.max(np.abs(g - r)) / (np.max(np.abs(r)) + 1e-9)
+    assert rel < 6e-2, rel
+
+
+def test_training_path_never_uses_fused_kernel():
+    """fused_resunits is serving-only: gradients through encode/decode must
+    work (XLA path) — at batch < 8 the gate keeps Pallas out even when the
+    flag is on."""
+    import dataclasses
+    from multimodal_vqvae_compression_audio_tactile_tpu.core.config import DacConfig
+
+    cfg = dataclasses.replace(DacConfig().tiny(), fused_resunits=True)
+    params = dac.dac_init(jax.random.key(13), cfg)
+    x = jax.random.normal(jax.random.key(14), (2, 1, 2 * cfg.hop), jnp.float32)
+
+    def loss(p):
+        z = dac._encoder_apply(p["encoder"], cfg, x)
+        y = dac._decoder_apply(p["decoder"], cfg, z)
+        return jnp.mean(y ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(np.abs(np.asarray(l)).max()) > 0 for l in leaves)
