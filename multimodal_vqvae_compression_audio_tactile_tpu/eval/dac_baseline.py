@@ -40,6 +40,8 @@ def eval_backbone_codec(
     log=print,
 ) -> dict:
     """Returns {n_q: row} with the reference's JSON row schema."""
+    import jax
+    params = jax.device_put(params)  # once: numpy jit args re-upload per call
     n_q_list = list(n_q_list or ecfg.dac_nq_list)
     tps = probe_tokens_per_sec(params, cfg)
     bits_per_code = math.log2(cfg.codebook_size)

@@ -138,6 +138,8 @@ def eval_proposed_runs(
     if not runs:
         raise RuntimeError(f"No runs found under {sweep_root} (expected rvqB*_K*/)")
 
+    import jax
+    backbones = jax.device_put(backbones)  # once: numpy jit args re-upload per call
     results = []
     for run in runs:
         parsed = artifacts.parse_run_dir(run)

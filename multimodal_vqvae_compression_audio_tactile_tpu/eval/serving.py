@@ -53,6 +53,9 @@ class StreamingCodec:
                 *pmesh.shard_replicated(mesh, tuple(params)))
             self._put = lambda x: pmesh.shard_batch(mesh, x)
         else:
+            # commit params once: numpy leaves (checkpoint loads / torch
+            # import) as jit args re-upload per call (see train/loop.py)
+            params = jax.device_put(params)
             self._put = jax.device_put
         self.params = params
         self.batch = batch

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 from typing import Callable, Sequence
 
+import jax
 import numpy as np
 
 from ..core.config import CodecConfig, EvalConfig, PLCConfig
@@ -32,6 +33,7 @@ def eval_plc_categories(
     log: Callable = print,
 ) -> dict:
     os.makedirs(out_dir, exist_ok=True)
+    params = jax.device_put(params)  # once: numpy jit args re-upload per call
     peak_global = M.compute_global_peak([t for _, t, _ in pairs])
     base_seed = seed * 1000
     tps = cfg.dac.tokens_per_sec

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 from typing import Callable, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -114,6 +115,7 @@ def eval_plc_uniform(
     with identical reseeded masks and write waveform/mel figures
     (reference: PLC/PLC1_eval.py:779-926)."""
     os.makedirs(out_dir, exist_ok=True)
+    params = jax.device_put(params)  # once: numpy jit args re-upload per call
     peak_global = M.compute_global_peak([t for _, t, _ in pairs])
     base_seed = seed * 1000  # reference BASE_SEED = SEED * 1000
 

@@ -116,6 +116,10 @@ def train_plc(
     if mesh is not None:
         state = PLCTrainState(*pmesh.shard_replicated(mesh, tuple(state)))
         backbones = pmesh.shard_replicated(mesh, backbones)
+    else:
+        # commit once: numpy jit args re-upload per call (see train/loop.py)
+        state = jax.device_put(state)
+        backbones = jax.device_put(backbones)
 
     t_lat = int(round(tcfg.seg_sec * cfg.dac.tokens_per_sec))
     tps = cfg.dac.tokens_per_sec

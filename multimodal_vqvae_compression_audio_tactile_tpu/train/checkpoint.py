@@ -96,13 +96,19 @@ class AsyncCheckpointer:
 
 
 def load_checkpoint(path: str, template: Any) -> tuple[Any, int, dict]:
-    """Restore (tree, epoch, hist) using ``template``'s pytree structure."""
+    """Restore (tree, epoch, hist) using ``template``'s pytree structure.
+
+    The restored tree is committed to device: numpy leaves passed into jitted
+    functions are re-uploaded on EVERY call (and, through this machine's
+    tunneled TPU runtime, each upload also leaks its size in host RSS — a
+    300 MB backbone passed per-step OOM-killed a training run at 130 GB).
+    """
     with open(path, "rb") as f:
         blob = f.read()
     payload = serialization.from_bytes(
         {"model": template, "epoch": np.int64(0), "hist_json": ""}, blob)
     hist = json.loads(payload["hist_json"]) if payload["hist_json"] else {}
-    return payload["model"], int(payload["epoch"]), hist
+    return jax.device_put(payload["model"]), int(payload["epoch"]), hist
 
 
 def load_checkpoint_tolerant(path: str, template: Any) -> tuple[Any, int, dict]:
@@ -134,4 +140,5 @@ def load_checkpoint_tolerant(path: str, template: Any) -> tuple[Any, int, dict]:
 
     tree = merge(template, state)
     hist = json.loads(raw.get("hist_json") or "{}")
-    return tree, int(raw.get("epoch", 0)), hist
+    # committed to device for the same reason as load_checkpoint
+    return jax.device_put(tree), int(raw.get("epoch", 0)), hist

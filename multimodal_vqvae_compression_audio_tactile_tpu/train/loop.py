@@ -177,6 +177,12 @@ def train_codec(
     if mesh is not None:
         state = TrainState(*pmesh.shard_replicated(mesh, tuple(state)))
         backbones = pmesh.shard_replicated(mesh, backbones)
+    else:
+        # commit long-lived params ONCE: numpy leaves (e.g. checkpoint loads
+        # or the torch import bridge) passed as jit args re-upload per call —
+        # slow and, on the tunneled runtime here, a host-RSS leak per upload
+        state = jax.device_put(state)
+        backbones = jax.device_put(backbones)
 
     best_val = float("inf")
     best_head = None  # on-device until the final disk write (slow host links)

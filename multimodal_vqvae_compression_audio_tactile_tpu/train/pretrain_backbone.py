@@ -223,6 +223,9 @@ def pretrain_backbone(
         lambda b: jax.device_put(b))
     if mesh is not None:
         state = type(state)(*pmesh.shard_replicated(mesh, tuple(state)))
+    else:
+        # commit once: numpy jit args re-upload per call (see train/loop.py)
+        state = jax.device_put(state)
 
     best_val = float("inf")
     best_params = None   # kept on device; written to disk at the end (device->
