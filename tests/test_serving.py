@@ -58,3 +58,20 @@ class TestStreamingCodec:
         stats = sc.throughput_frames_per_sec(repeats=3)
         assert stats["encode_frames_per_sec"] > 0
         assert stats["decode_frames_per_sec"] > 0
+
+
+def test_streaming_codec_commits_numpy_params_once():
+    """Params given as numpy pytrees must be committed to device at
+    construction: numpy leaves passed as jit args re-upload on every call
+    (and leak host RSS on the tunneled TPU runtime)."""
+    import numpy as onp
+
+    from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving import (
+        StreamingCodec)
+
+    params = allpred_ar.codec_init(jax.random.key(0), CFG)
+    np_params = jax.tree.map(lambda x: onp.asarray(x), params)
+    sc = StreamingCodec(np_params, CFG, batch=1, frame_sec=3200 / 24000,
+                        fast=False)
+    leaves = jax.tree_util.tree_leaves(sc.params)
+    assert all(isinstance(l, jax.Array) for l in leaves)
