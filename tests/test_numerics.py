@@ -77,7 +77,9 @@ class TestPrecisionConfig:
     the bitstream; the conv/attention stacks may drop to the MXU's native
     single-pass bf16 for serving (CodecConfig.fast_serving)."""
 
-    def test_fast_serving_flips_precision_fields_only(self):
+    def test_fast_serving_flips_serving_fields_only(self):
+        """fast_serving() flips exactly: dac/predictor precision to "default"
+        and the fused resunit kernel on; everything else untouched."""
         from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
             CodecConfig)
         base = CodecConfig()
@@ -86,10 +88,12 @@ class TestPrecisionConfig:
             ("highest", "highest")
         assert (fast.dac.precision, fast.predictor.precision) == \
             ("default", "default")
+        assert not base.dac.fused_resunits and fast.dac.fused_resunits
         import dataclasses
         assert dataclasses.replace(
             fast,
-            dac=dataclasses.replace(fast.dac, precision="highest"),
+            dac=dataclasses.replace(fast.dac, precision="highest",
+                                    fused_resunits=False),
             predictor=dataclasses.replace(fast.predictor,
                                           precision="highest")) == base
 
