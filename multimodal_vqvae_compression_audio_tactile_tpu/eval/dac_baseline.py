@@ -37,9 +37,16 @@ def eval_backbone_codec(
     peak_global: float,
     ecfg: EvalConfig = EvalConfig(),
     n_q_list: Sequence[int] | None = None,
+    latency_map: dict | None = None,
     log=print,
 ) -> dict:
-    """Returns {n_q: row} with the reference's JSON row schema."""
+    """Returns {n_q: row} with the reference's JSON row schema.
+
+    latency_map: optional {str(n_q): {"enc_ms", "dec_ms"}} measured in a
+    pull-free process (scripts/measure_latencies.py). In-process timing after
+    any device->host pull is inflated ~100x on this machine's tunneled
+    runtime, so callers that already pulled data should pre-measure.
+    """
     import jax
     params = jax.device_put(params)  # once: numpy jit args re-upload per call
     n_q_list = list(n_q_list or ecfg.dac_nq_list)
@@ -59,12 +66,16 @@ def eval_backbone_codec(
                                                    n_quantizers=n_q)
             return dac.decode(params, cfg, zq)
 
-        enc_ms, dec_ms = measure_codec_latency(
-            lambda a, t, n_q=n_q: dac.encode_quantized(params, cfg, t,
-                                                       n_quantizers=n_q)[0],
-            lambda z: dac.decode(params, cfg, z),
-            sr_native=cfg.sample_rate,
-            warmup=ecfg.latency_warmup, repeats=ecfg.latency_repeats)
+        if latency_map is not None and str(n_q) in latency_map:
+            enc_ms = latency_map[str(n_q)]["enc_ms"]
+            dec_ms = latency_map[str(n_q)]["dec_ms"]
+        else:
+            enc_ms, dec_ms = measure_codec_latency(
+                lambda a, t, n_q=n_q: dac.encode_quantized(params, cfg, t,
+                                                           n_quantizers=n_q)[0],
+                lambda z: dac.decode(params, cfg, z),
+                sr_native=cfg.sample_rate,
+                warmup=ecfg.latency_warmup, repeats=ecfg.latency_repeats)
 
         st_vals, ps_vals = [], []
         for _, t_path, _ in pairs:

@@ -35,6 +35,7 @@ def evaluate_proposed_model(
     books_use: Optional[int] = None,
     ecfg: EvalConfig = EvalConfig(),
     protocol: str = "raw",
+    latency: Optional[dict] = None,
 ) -> dict:
     """Per-file PSNR protocol over one trained codec; returns metric row.
 
@@ -52,11 +53,18 @@ def evaluate_proposed_model(
     # (Evaluation/dac_vcpwq_proposed6_latency.py:512); quality metrics below
     # still run the reproducible HIGHEST-precision path
     scfg = cfg.fast_serving()
-    enc_ms, dec_ms = measure_codec_latency(
-        lambda a, t: allpred_ar.encode_latents(params, scfg, a, t,
-                                               n_books_use=books_use)[0],
-        lambda z: dac.decode(params.tactile_dac, scfg.dac, z),
-        sr_native=sr24, warmup=ecfg.latency_warmup, repeats=ecfg.latency_repeats)
+    if latency is not None:
+        # pre-measured in a pull-free process (scripts/measure_latencies.py):
+        # in-process timing after any device->host pull is inflated ~100x on
+        # this machine's tunneled runtime
+        enc_ms, dec_ms = latency["enc_ms"], latency["dec_ms"]
+    else:
+        enc_ms, dec_ms = measure_codec_latency(
+            lambda a, t: allpred_ar.encode_latents(params, scfg, a, t,
+                                                   n_books_use=books_use)[0],
+            lambda z: dac.decode(params.tactile_dac, scfg.dac, z),
+            sr_native=sr24, warmup=ecfg.latency_warmup,
+            repeats=ecfg.latency_repeats)
 
     st_vals, ps_vals = [], []
     total_bytes, total_sec = 0, 0.0
@@ -130,10 +138,14 @@ def eval_proposed_runs(
     ecfg: EvalConfig = EvalConfig(),
     checkpoint_name: str = "best.msgpack",
     protocol: str = "raw",
+    latency_map: Optional[dict] = None,
     log: Callable = print,
 ) -> list[dict]:
     """Discover ``rvqB*_K*`` runs under sweep_root and evaluate each
-    (reference: Evaluation/dac_vcpwq_proposed6_latency.py:617-743)."""
+    (reference: Evaluation/dac_vcpwq_proposed6_latency.py:617-743).
+
+    latency_map: optional {"rvqB{B}_K{K}": {"enc_ms", "dec_ms"}} pre-measured
+    in a pull-free process (scripts/measure_latencies.py)."""
     runs = artifacts.discover_runs(sweep_root)
     if not runs:
         raise RuntimeError(f"No runs found under {sweep_root} (expected rvqB*_K*/)")
@@ -155,8 +167,9 @@ def eval_proposed_runs(
         params = allpred_ar.CodecParams(backbones["audio"], backbones["tactile"],
                                         head)
         log(f"[proposed] rvqB{books}_K{embed}")
+        lat = (latency_map or {}).get(f"rvqB{books}_K{embed}")
         row = evaluate_proposed_model(params, cfg, pairs, peak_global,
                                       books_use=books, ecfg=ecfg,
-                                      protocol=protocol)
+                                      protocol=protocol, latency=lat)
         results.append({"run": os.path.basename(run), "path": run, **row})
     return results

@@ -210,11 +210,21 @@ def main() -> None:
 
     dac24, proposed_rows, vc_rows = {}, [], []
     if not args.only_plc_category:
+        # latencies from a pull-free subprocess: this training process has
+        # pulled checkpoints/metrics, which degrades the tunneled runtime's
+        # dispatch to a ~30 ms floor (see scripts/measure_latencies.py)
+        from demo_eval_only import _measure_latencies_subprocess
+        t0 = time.time()
+        lat = _measure_latencies_subprocess(root, cpu=args.cpu,
+                                            tiny=args.tiny)
+        print(f"[demo] latencies in {time.time()-t0:.0f}s", flush=True)
         t0 = time.time()
         dac24 = eval_backbone_codec(backbones["tactile"], cfg.dac, eval_pairs,
-                                    peak_global, ecfg, n_q_list=(1, 2, 4, 8))
+                                    peak_global, ecfg, n_q_list=(1, 2, 4, 8),
+                                    latency_map=lat.get("backbone"))
         proposed_rows = eval_proposed_runs(sweep_root, cfg, backbones,
-                                           eval_pairs, peak_global, ecfg)
+                                           eval_pairs, peak_global, ecfg,
+                                           latency_map=lat.get("runs"))
         if os.path.isdir(vc_dec):
             vc_rows = eval_vc_pwq(vc_dec, vc_comp, tact_dir, peak_global,
                                   ecfg, b_list=(8, 24, 48))

@@ -15,6 +15,30 @@ import time
 import _common
 
 
+def _measure_latencies_subprocess(root: str, cpu: bool = False,
+                                  tiny: bool = False) -> dict:
+    """All serving latencies for the eval, from a fresh pull-free process."""
+    import sys
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "measure_latencies.py")
+    cmd = [sys.executable, script,
+           "--backbone", os.path.join(root, "backbone", "best.msgpack"),
+           "--sweep-root", os.path.join(root, "sweep")]
+    if cpu:
+        cmd.append("--cpu")
+    if tiny:
+        cmd.append("--tiny")
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.dirname(script)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except (subprocess.CalledProcessError, json.JSONDecodeError,
+            IndexError) as e:
+        print(f"[eval] latency subprocess failed ({e}); falling back to "
+              f"in-process timing (inflated on tunneled runtimes)", flush=True)
+        return {}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True)
@@ -75,13 +99,23 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     peak_global = M.compute_global_peak([t for _, t, _ in eval_pairs])
 
+    # latencies first, in a dedicated pull-free subprocess: the first
+    # device->host pull permanently degrades this tunneled runtime's dispatch
+    # to a ~30 ms floor, so in-process timing after eval pulls is inflated
+    # ~100x (scripts/measure_latencies.py docstring)
+    t0 = time.time()
+    lat = _measure_latencies_subprocess(root, cpu=args.cpu)
+    print(f"[eval] latencies in {time.time()-t0:.0f}s", flush=True)
+
     t0 = time.time()
     dac24 = eval_backbone_codec(backbones["tactile"], cfg.dac, eval_pairs,
-                                peak_global, ecfg, n_q_list=(1, 2, 4, 8))
+                                peak_global, ecfg, n_q_list=(1, 2, 4, 8),
+                                latency_map=lat.get("backbone"))
     print(f"[eval] backbone baseline in {time.time()-t0:.0f}s", flush=True)
     t0 = time.time()
     proposed_rows = eval_proposed_runs(sweep_root, cfg, backbones, eval_pairs,
-                                       peak_global, ecfg)
+                                       peak_global, ecfg,
+                                       latency_map=lat.get("runs"))
     print(f"[eval] proposed sweep in {time.time()-t0:.0f}s", flush=True)
     vc_rows = eval_vc_pwq(vc_dec, vc_comp, tact_dir, peak_global, ecfg,
                           b_list=(8, 24, 48)) if os.path.isdir(vc_dec) else []

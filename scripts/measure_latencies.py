@@ -1,0 +1,101 @@
+"""Measure codec serving latencies in a pull-free process; print ONE JSON map.
+
+On this machine's tunneled TPU runtime, the FIRST device->host pull switches
+the connection into a degraded mode: it stalls ~70 s and every subsequent
+dispatch pays a ~25-35 ms floor (measured; see CLAUDE.md). Latencies measured
+in-process after any evaluation pulls are therefore inflated ~100x. This CLI
+performs ALL latency measurements for an eval session in a fresh process that
+never pulls device data (results stay on device; only block_until_ready
+fencing), then prints the map for the evaluators to consume.
+
+    python scripts/measure_latencies.py --backbone CKPT --sweep-root DIR \
+        [--nq 1,2,4,8] [--tiny]
+
+Output (stdout, last line): {"backbone": {"1": {"enc_ms":..,"dec_ms":..}, ...},
+                             "runs": {"rvqB6_K128": {...}, ...}}
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+from scripts import _common  # noqa: F401
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backbone", required=True)
+    ap.add_argument("--sweep-root", default=None)
+    ap.add_argument("--nq", default="1,2,4,8")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    _common.setup_jax(cpu=args.cpu)
+
+    import dataclasses
+
+    import jax
+
+    from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+        CodecConfig, PredictorConfig, RVQConfig)
+    from multimodal_vqvae_compression_audio_tactile_tpu.eval.latency import (
+        measure_codec_latency)
+    from multimodal_vqvae_compression_audio_tactile_tpu.models import (
+        allpred_ar, dac)
+    from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+        checkpoint as ckpt)
+    from multimodal_vqvae_compression_audio_tactile_tpu.utils import artifacts
+
+    cfg = CodecConfig()
+    if args.tiny:
+        d = cfg.dac.tiny()
+        cfg = dataclasses.replace(
+            cfg, dac=d, predictor=PredictorConfig(dim=d.latent_dim, heads=8),
+            rvq=RVQConfig(code_dim=16, n_books=10, n_embed=128), ar_chunk_tok=4)
+
+    template = dac.dac_init(jax.random.key(0), cfg.dac)
+    bb, _, _ = ckpt.load_checkpoint_tolerant(args.backbone, template)
+
+    out = {"backbone": {}, "runs": {}}
+
+    # backbone encode/decode at each n_q (the DAC-baseline evaluator rows);
+    # quantizer latency is shape-independent of n_q only through `use`, so
+    # measure each requested point like the reference does
+    scfg_dac = cfg.fast_serving().dac
+    for nq in (int(x) for x in args.nq.split(",")):
+        enc_ms, dec_ms = measure_codec_latency(
+            lambda a, t, n=nq: dac.encode_quantized(bb, scfg_dac, t,
+                                                    n_quantizers=n)[0],
+            lambda z: dac.decode(bb, scfg_dac, z))
+        out["backbone"][str(nq)] = {"enc_ms": enc_ms, "dec_ms": dec_ms}
+        print(f"[lat] backbone n_q={nq}: enc {enc_ms:.3f} dec {dec_ms:.3f}",
+              file=sys.stderr, flush=True)
+
+    if args.sweep_root:
+        import os
+        for run in artifacts.discover_runs(args.sweep_root):
+            parsed = artifacts.parse_run_dir(run)
+            ckpt_path = f"{run}/best.msgpack"
+            if parsed is None or not os.path.isfile(ckpt_path):
+                continue
+            books, embed = parsed
+            rcfg = cfg.with_rvq(books, embed)
+            head_t = allpred_ar.head_init(jax.random.key(0), rcfg)
+            head, _, _ = ckpt.load_checkpoint_tolerant(ckpt_path, head_t)
+            params = allpred_ar.CodecParams(bb, bb, head)
+            scfg = rcfg.fast_serving()
+            enc_ms, dec_ms = measure_codec_latency(
+                lambda a, t: allpred_ar.encode_latents(
+                    params, scfg, a, t, n_books_use=books)[0],
+                lambda z: dac.decode(params.tactile_dac, scfg.dac, z))
+            name = f"rvqB{books}_K{embed}"
+            out["runs"][name] = {"enc_ms": enc_ms, "dec_ms": dec_ms}
+            print(f"[lat] {name}: enc {enc_ms:.3f} dec {dec_ms:.3f}",
+                  file=sys.stderr, flush=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
