@@ -119,6 +119,19 @@ class CodecConfig:
             self, rvq=dataclasses.replace(self.rvq, n_books=n_books, n_embed=n_embed)
         )
 
+    def tiny(self) -> "CodecConfig":
+        """CPU-testable full-pipeline variant (tiny backbone, 16-dim codes,
+        4-token AR chunks). Scripts that train and scripts that re-load the
+        same checkpoints (e.g. measure_latencies.py) MUST build this
+        identically, or tolerant loading silently keeps random template
+        leaves on shape mismatch — hence one shared definition."""
+        d = self.dac.tiny()
+        return dataclasses.replace(
+            self, dac=d,
+            predictor=dataclasses.replace(self.predictor, dim=d.latent_dim),
+            rvq=dataclasses.replace(self.rvq, code_dim=16),
+            ar_chunk_tok=4)
+
     def fast_serving(self) -> "CodecConfig":
         """Serving-precision variant: native bf16 MXU matmuls everywhere
         except the code-index-determining VQ scores (always HIGHEST)."""

@@ -70,10 +70,17 @@ def eval_backbone_codec(
             enc_ms = latency_map[str(n_q)]["enc_ms"]
             dec_ms = latency_map[str(n_q)]["dec_ms"]
         else:
+            # same protocol as scripts/measure_latencies.py: time the
+            # fast-serving bf16 config (the reference times under AMP,
+            # Evaluation/dac_vcpwq_proposed6_latency.py:512), not the
+            # HIGHEST-precision quality-metric config
+            import dataclasses
+            scfg = dataclasses.replace(cfg, precision="default",
+                                       fused_resunits=True)
             enc_ms, dec_ms = measure_codec_latency(
-                lambda a, t, n_q=n_q: dac.encode_quantized(params, cfg, t,
+                lambda a, t, n_q=n_q: dac.encode_quantized(params, scfg, t,
                                                            n_quantizers=n_q)[0],
-                lambda z: dac.decode(params, cfg, z),
+                lambda z: dac.decode(params, scfg, z),
                 sr_native=cfg.sample_rate,
                 warmup=ecfg.latency_warmup, repeats=ecfg.latency_repeats)
 

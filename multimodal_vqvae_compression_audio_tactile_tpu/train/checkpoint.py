@@ -36,16 +36,16 @@ def fused_to_host(tree: Any) -> Any:
     dtype.
     """
     leaves, treedef = jax.tree.flatten(tree)
-    if not leaves or not any(isinstance(l, jax.Array) for l in leaves):
-        return tree
+    out: list = [None] * len(leaves)
     groups: dict = {}
     for i, l in enumerate(leaves):
-        groups.setdefault(jnp.asarray(l).dtype, []).append(i)
-    out: list = [None] * len(leaves)
+        if isinstance(l, jax.Array):              # only device leaves fused;
+            groups.setdefault(l.dtype, []).append(i)
+        else:                                     # host leaves pass through
+            out[i] = np.asarray(l)                # (no upload round-trip)
     for dt, idxs in groups.items():
-        flat = jnp.concatenate(
-            [jnp.ravel(jnp.asarray(leaves[i])) for i in idxs]) \
-            if len(idxs) > 1 else jnp.ravel(jnp.asarray(leaves[idxs[0]]))
+        flat = jnp.concatenate([jnp.ravel(leaves[i]) for i in idxs]) \
+            if len(idxs) > 1 else jnp.ravel(leaves[idxs[0]])
         host = np.asarray(flat)                   # the single pull
         off = 0
         for i in idxs:

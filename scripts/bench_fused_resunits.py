@@ -41,6 +41,11 @@ def main() -> None:
         base, dac=dataclasses.replace(base.dac, fused_resunits=False))
     params = allpred_ar.codec_init(jax.random.key(7), base)
 
+    # drop the production batch gate so the b1 "fused" leg actually runs the
+    # kernel (models/dac.py routes batch < _FUSED_MIN_BATCH to XLA)
+    from multimodal_vqvae_compression_audio_tactile_tpu.models import dac
+    dac._FUSED_MIN_BATCH = 1
+
     report = {"backend": jax.default_backend()}
     for batch in (1, 32):
         report[f"b{batch}_xla"] = bench(off, params, batch)

@@ -54,13 +54,11 @@ def main() -> None:
         args.plc_category = True
     _common.setup_jax(cpu=args.cpu)
 
-    import dataclasses
-
     import jax
 
     from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
-        CodecConfig, EvalConfig, GanConfig, PLCConfig, PredictorConfig,
-        RVQConfig, SweepConfig, TrainConfig)
+        CodecConfig, EvalConfig, GanConfig, PLCConfig, SweepConfig,
+        TrainConfig)
     from multimodal_vqvae_compression_audio_tactile_tpu.data import (
         SegmentDataset, batch_iterator, split_items)
     from multimodal_vqvae_compression_audio_tactile_tpu.data.synth import (
@@ -96,10 +94,7 @@ def main() -> None:
 
     cfg = CodecConfig()
     if args.tiny:
-        d = cfg.dac.tiny()
-        cfg = dataclasses.replace(
-            cfg, dac=d, predictor=PredictorConfig(dim=d.latent_dim, heads=8),
-            rvq=RVQConfig(code_dim=16, n_books=10, n_embed=128), ar_chunk_tok=4)
+        cfg = cfg.tiny()  # must match measure_latencies.py --tiny (one def)
 
     # ---- 1. corpus -------------------------------------------------------
     pairs = make_synth_corpus(os.path.join(root, "corpus"), n_pairs=args.pairs,

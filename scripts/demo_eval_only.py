@@ -34,8 +34,12 @@ def _measure_latencies_subprocess(root: str, cpu: bool = False,
         return json.loads(out.stdout.strip().splitlines()[-1])
     except (subprocess.CalledProcessError, json.JSONDecodeError,
             IndexError) as e:
+        detail = ""
+        if isinstance(e, subprocess.CalledProcessError) and e.stderr:
+            detail = "\n" + "\n".join(e.stderr.strip().splitlines()[-8:])
         print(f"[eval] latency subprocess failed ({e}); falling back to "
-              f"in-process timing (inflated on tunneled runtimes)", flush=True)
+              f"in-process timing (inflated on tunneled runtimes){detail}",
+              flush=True)
         return {}
 
 

@@ -33,12 +33,10 @@ def main() -> None:
     args = ap.parse_args()
     _common.setup_jax(cpu=args.cpu)
 
-    import dataclasses
-
     import jax
 
     from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
-        CodecConfig, PredictorConfig, RVQConfig)
+        CodecConfig)
     from multimodal_vqvae_compression_audio_tactile_tpu.eval.latency import (
         measure_codec_latency)
     from multimodal_vqvae_compression_audio_tactile_tpu.models import (
@@ -49,10 +47,7 @@ def main() -> None:
 
     cfg = CodecConfig()
     if args.tiny:
-        d = cfg.dac.tiny()
-        cfg = dataclasses.replace(
-            cfg, dac=d, predictor=PredictorConfig(dim=d.latent_dim, heads=8),
-            rvq=RVQConfig(code_dim=16, n_books=10, n_embed=128), ar_chunk_tok=4)
+        cfg = cfg.tiny()  # shared definition; see CodecConfig.tiny docstring
 
     template = dac.dac_init(jax.random.key(0), cfg.dac)
     bb, _, _ = ckpt.load_checkpoint_tolerant(args.backbone, template)

@@ -109,14 +109,16 @@ def test_multi_call_split_matches_xla():
 
 def test_backbone_fused_flag_end_to_end():
     """encode/decode with fused_resunits=True matches the XLA path (tiny cfg,
-    interpreter mode on CPU, fp32)."""
+    interpreter mode on CPU, fp32). Batch must clear dac._FUSED_MIN_BATCH or
+    the gate silently routes both configs to XLA and the test is vacuous."""
     import dataclasses
     from multimodal_vqvae_compression_audio_tactile_tpu.core.config import DacConfig
 
     cfg = DacConfig().tiny()
     cfg_fused = dataclasses.replace(cfg, fused_resunits=True)
     params = dac.dac_init(jax.random.key(11), cfg)
-    x = jax.random.normal(jax.random.key(12), (1, 1, 2 * cfg.hop), jnp.float32)
+    x = jax.random.normal(jax.random.key(12),
+                          (dac._FUSED_MIN_BATCH, 1, 2 * cfg.hop), jnp.float32)
 
     z_ref = dac.encode(params, cfg, x)
     z_fus = dac.encode(params, cfg_fused, x)
