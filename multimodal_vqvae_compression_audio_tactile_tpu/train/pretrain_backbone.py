@@ -256,6 +256,24 @@ def pretrain_backbone(
         log(f"[pretrain] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
             f"val {v:.4f} | {time.time()-t0:.1f}s")
 
+        # divergence recovery: long runs can blow up mid-schedule (observed:
+        # train 0.51 -> 10 -> permanently-dead 1.19 at epoch ~150 of 400; the
+        # finite-gate only blocks NaN/Inf, not finite explosions). When the
+        # train loss leaves the healthy band, restore the best params and
+        # clear the optimizer moments (they carry the blown-up gradient
+        # state); training resumes from the best point on the same schedule.
+        # threshold 5x: GAN-phase totals run ~2x the recon-phase best val
+        # (adversarial terms), observed explosions are >15x
+        if (best_params is not None and np.isfinite(hist["train"][-1])
+                and hist["train"][-1] > 5.0 * max(best_val, 1e-9)
+                and ep > tcfg.best_after_epoch):
+            log(f"[pretrain] divergence at epoch {ep} (train "
+                f"{hist['train'][-1]:.3f} vs best val {best_val:.3f}): "
+                f"restoring best (epoch {best_epoch}), resetting optimizer")
+            restored = jax.tree.map(jnp.array, best_params)
+            state = state._replace(params=restored,
+                                   opt_state=jax.device_put(tx.init(restored)))
+
         if ep % save_every == 0 or ep == tcfg.epochs:
             # async: the ~300 MB backbone pull overlaps the next epoch
             acp.save(os.path.join(out_dir, "last.msgpack"),
