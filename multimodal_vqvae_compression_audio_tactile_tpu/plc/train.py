@@ -155,6 +155,16 @@ def train_plc(
         log(f"[plc:{mode}] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
             f"val {v:.4f} | {time.time()-t0:.1f}s")
 
+        # divergence recovery (same rationale as train/pretrain_backbone.py)
+        if (best_head is not None and np.isfinite(hist["train"][-1])
+                and hist["train"][-1] > 5.0 * max(best_val, 1e-9)):
+            log(f"[plc:{mode}] divergence at epoch {ep}: restoring best "
+                f"(epoch {best_epoch}), resetting optimizer")
+            restored = jax.tree.map(jnp.array, best_head)
+            state = PLCTrainState(restored,
+                                  jax.device_put(tx.init(restored)),
+                                  state.step)
+
         if ep % save_every == 0 or ep == tcfg.epochs:
             # async: the head pull overlaps the next epoch's compute
             acp.save(os.path.join(out_dir, "last.msgpack"),

@@ -231,6 +231,17 @@ def train_codec(
             f"L1 {hist['l1'][-1]:.4f} | STFT {hist['stft'][-1]:.4f} | "
             f"MEL {hist['mel'][-1]:.4f} | {time.time()-t0:.1f}s")
 
+        # divergence recovery (same rationale as train/pretrain_backbone.py:
+        # the finite-update gate blocks NaN/Inf but not finite blowups)
+        if (best_head is not None and np.isfinite(hist["train"][-1])
+                and hist["train"][-1] > 5.0 * max(best_val, 1e-9)):
+            log(f"divergence at epoch {ep} (train {hist['train'][-1]:.3f} vs "
+                f"best val {best_val:.3f}): restoring best (epoch "
+                f"{best_epoch}), resetting optimizer")
+            restored = jax.tree.map(jnp.array, best_head)
+            state = TrainState(restored, jax.device_put(tx.init(restored)),
+                               state.step)
+
         if ep % save_every == 0 or ep == tcfg.epochs:
             # async: the ~35 MB head pull overlaps the next epoch's compute
             acp.save(os.path.join(out_dir, "last.msgpack"),
