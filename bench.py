@@ -57,13 +57,16 @@ def main() -> None:
         "metric": "encode_ms_per_1s_signal",
         "value": round(enc_ms, 3),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_ENC_MS / enc_ms, 3),
+        # apples-to-apples vs the reference protocol: its baseline constant is
+        # a MEAN (of 10), so the headline ratio divides by our mean, not p50
+        "vs_baseline": round(BASELINE_ENC_MS / enc["mean"], 3),
         "extra": {
             "decode_ms": round(dec_ms, 3),
             "encode_mean_ms": round(enc["mean"], 3),
             "encode_p95_ms": round(enc["p95"], 3),
             "decode_mean_ms": round(dec["mean"], 3),
-            "decode_vs_baseline": round(BASELINE_DEC_MS / dec_ms, 3),
+            "encode_p50_vs_baseline_mean": round(BASELINE_ENC_MS / enc_ms, 3),
+            "decode_vs_baseline": round(BASELINE_DEC_MS / dec["mean"], 3),
             "encode_frames_per_sec_b32": round(tp["encode_frames_per_sec"], 1),
             "decode_frames_per_sec_b32": round(tp["decode_frames_per_sec"], 1),
             "backend": jax.default_backend(),

@@ -97,6 +97,17 @@ class RVQConfig:
     n_embed: int = 128
     ema_decay: float = 0.99
     ema_warm_epochs: int = 5
+    # Training-dynamics fixes for the round-1 codebook collapse (books carried
+    # ~0-2 of 7 nominal bits; VERDICT weak #2). "residual": each book's EMA
+    # targets are the running residual after previous books (proper RVQ);
+    # "reference" reproduces the reference's EMA-on-original-tokens quirk
+    # (Training/compare_dacvsproposal_3.py:264-276), under which books >= 2
+    # chase identical targets and carry almost no information. dead_frac:
+    # codes whose EMA cluster size falls below this fraction of the uniform
+    # share are reseeded from batch residuals (0.0 disables expiry and the
+    # data-dependent first-step init).
+    ema_mode: str = "residual"
+    dead_frac: float = 0.1
 
 
 @dataclass(frozen=True)

@@ -43,6 +43,7 @@ def eval_vc_pwq(
         total_comp = total_orig = 0
         total_sec = 0.0
         used = 0
+        stream_versions: set[str] = set()
 
         for t_path in sorted(glob.glob(os.path.join(tact_dir, "*.wav"))):
             stem = Path(t_path).stem
@@ -69,6 +70,12 @@ def eval_vc_pwq(
                 total_orig += os.path.getsize(t_path)
                 data, sr_t2 = read_wav(t_path)
                 total_sec += data.shape[0] / float(sr_t2)
+                with open(comp[0], "rb") as f:
+                    magic = f.read(4)
+                # 'VPWQ' = v1 raw bitplanes (reference-parity rates);
+                # 'VPW2' = v2 range-coded (stronger baseline, different rates)
+                stream_versions.add(
+                    {b"VPWQ": "v1", b"VPW2": "v2"}.get(magic, "unknown"))
             used += 1
 
         if used == 0:
@@ -90,6 +97,10 @@ def eval_vc_pwq(
             "stsim_mean": st_m, "stsim_ci95": st_ci,
             "psnr_mean": ps_m, "psnr_ci95": ps_ci,
             "n": len(st_vals), "pairs": used,
+            # which bitstream produced these rates: v1 reproduces the
+            # reference codec's raw-bitplane rates, v2 is range-coded
+            # (stronger baseline, not rate-comparable to reference numbers)
+            "stream_version": "+".join(sorted(stream_versions)) or "none",
             "encoding_delay_ms": float("nan"),
             "decoding_delay_ms": float("nan"),
             "buffer_delay_ms": ecfg.vc_buffer_ms,

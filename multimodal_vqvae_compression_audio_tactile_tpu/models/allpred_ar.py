@@ -67,6 +67,9 @@ def head_init(key: jax.Array, cfg: CodecConfig) -> dict:
             "b": jax.random.uniform(ku2, (C,), jnp.float32, -bound_u, bound_u),
         },
         "vq_books": rvq_init(kv, cfg.rvq.n_books, cfg.rvq.n_embed, D),
+        # EMA cluster sizes for dead-code expiry (ops/rvq.ema_update_with_reinit);
+        # zeros trigger data-dependent init on the first EMA step
+        "vq_counts": jnp.zeros((cfg.rvq.n_books, cfg.rvq.n_embed), jnp.float32),
     }
 
 

@@ -204,6 +204,14 @@ def resunit_stack(
     while i < len(units):
         group = units[i: i + per_call]
         dils = tuple(dilations[i: i + per_call])
+        # the fused call reads a _PAD-sample halo left+right of each tile;
+        # the group's receptive field (3 samples per side per unit at dilation
+        # d => 3*sum(d)) must fit or the kernel would silently read wrapped /
+        # stale halo lanes (current callers max out at 3*(1+3+9)=39)
+        halo = 3 * sum(dils)
+        assert halo <= _PAD, (
+            f"fused resunit group receptive field {halo} exceeds halo "
+            f"{_PAD}; split the group or reduce dilations {dils}")
         last = i + len(group) == len(units)
         w7 = jnp.stack([jnp.transpose(u["conv1"]["w"], (2, 0, 1))
                         for u in group]).astype(cdt)        # [U, 7, C, C]

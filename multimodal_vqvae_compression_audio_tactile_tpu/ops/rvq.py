@@ -20,7 +20,21 @@ Reference semantics preserved exactly:
   for codes that were hit. NOTE the reference assigns EVERY book's EMA target from the
   ORIGINAL tokens X, not from that book's running residual (``X`` is never updated in
   the loop). ``ema_mode="reference"`` reproduces this; ``ema_mode="residual"`` is the
-  textbook residual-EMA variant.
+  textbook residual-EMA variant and the TRAINING DEFAULT here (RVQConfig.ema_mode):
+  under the reference quirk every book chases the same targets, so books >= 2 carry
+  almost no information (measured round 1: 0-2 of 7 nominal bits/book, flat RD curve).
+
+Beyond-reference training dynamics (round-2 fix for the measured codebook collapse):
+
+- ``counts`` — per-code EMA cluster sizes carried in the train state;
+- dead-code reinitialization: codes whose EMA cluster size falls below
+  ``dead_frac`` x the uniform share are reseeded from the current batch's residual
+  tokens (SoundStream/EnCodec-style expiry). Because counts start at zero, the FIRST
+  EMA step adopts the batch statistics wholesale — reseeding every never-hit code
+  from real residuals — which doubles as data-dependent codebook init and fixes the
+  norm mismatch between ``rvq_init`` codes (norm ~1) and actual residual projections
+  (norm ~0.3 at scale 0.08) that made ``argmax(x.e - 0.5||e||^2)`` collapse onto the
+  few smallest-norm codes.
 """
 
 from __future__ import annotations
@@ -124,7 +138,7 @@ def ema_update(
     decay: float = 0.99,
     ema_mode: str = "reference",
 ) -> jax.Array:
-    """One EMA codebook update step; returns new books.
+    """One reference-semantics EMA codebook update step; returns new books.
 
     z_tokens: [B, D, T] detached residual projections (the reference feeds
     ``r_tokens`` collected during the AR roll,
@@ -133,6 +147,9 @@ def ema_update(
 
     ema_mode="reference": every book's assignment/mean computed on the ORIGINAL
     tokens (reference :264-276). "residual": on that book's running residual.
+    Training uses ``ema_update_with_reinit`` (cluster-size tracking + dead-code
+    expiry); this function is the pure reference-math path kept for bit-exact
+    parity tests and for checkpoints trained with the quirk.
     """
     X, (B, D, T) = _flatten_bdt(jax.lax.stop_gradient(z_tokens.astype(jnp.float32)))
     if valid is None:
@@ -155,3 +172,106 @@ def ema_update(
 
     _, new_books = jax.lax.scan(one_book, X, books.astype(jnp.float32))
     return new_books
+
+
+@partial(jax.jit, static_argnames=("ema_mode", "dead_frac"),
+         donate_argnums=(0, 1))
+def ema_update_with_reinit(
+    books: jax.Array,
+    counts: jax.Array,
+    z_tokens: jax.Array,
+    key: jax.Array,
+    valid: Optional[jax.Array] = None,
+    decay: float = 0.99,
+    ema_mode: str = "residual",
+    dead_frac: float = 0.1,
+) -> Tuple[jax.Array, jax.Array]:
+    """EMA update + cluster-size tracking + dead-code reinit; -> (books, counts).
+
+    counts: [n_books, K] EMA cluster sizes (zeros at init). The first step with
+    all-zero counts adopts the batch statistics wholesale: every code's count is
+    the batch count, so never-hit codes are immediately reseeded from batch
+    residual tokens — data-dependent init. Thereafter a code whose EMA count
+    drops below ``dead_frac * n_tokens / K`` (a fraction of the uniform share)
+    is reseeded from a randomly sampled residual token of the current batch,
+    with its count reset to the uniform share so it gets time to attract
+    assignments. Sampling respects the ``valid`` token mask.
+
+    ema_mode="residual" (default): book i's assignment/mean/reseed targets are
+    the running residual after books < i — proper residual VQ, each book learns
+    the distribution the quantizer actually sees at its depth.
+    """
+    X, (B, D, T) = _flatten_bdt(jax.lax.stop_gradient(z_tokens.astype(jnp.float32)))
+    N = B * T
+    if valid is None:
+        w = jnp.ones((N,), jnp.float32)
+    else:
+        w = valid.reshape(N).astype(jnp.float32)
+    K = books.shape[1]
+    n_tokens = jnp.sum(w)
+    uniform_share = n_tokens / K
+    thresh = dead_frac * uniform_share
+    p = w / jnp.maximum(n_tokens, 1.0)
+    book_keys = jax.random.split(key, books.shape[0])
+
+    def one_book(carry, inputs):
+        residual = carry                       # residual after previous books
+        emb, cnt, bkey = inputs
+        target = X if ema_mode == "reference" else residual
+        idx = _nearest(target, emb)
+        batch_counts = jax.ops.segment_sum(w, idx, num_segments=K)
+        sums = jax.ops.segment_sum(target * w[:, None], idx, num_segments=K)
+        means = sums / (batch_counts[:, None] + 1e-9)
+        hit = batch_counts > 0
+        new_emb = jnp.where(hit[:, None], decay * emb + (1.0 - decay) * means, emb)
+        first = jnp.sum(cnt) <= 0.0
+        new_cnt = jnp.where(first, batch_counts,
+                            decay * cnt + (1.0 - decay) * batch_counts)
+        # next book's residual uses the PRE-update codes — what quantization saw
+        next_residual = residual - emb[idx]
+        if dead_frac > 0.0:
+            ks, kn = jax.random.split(bkey)
+            dead = new_cnt < thresh
+            samp = jax.random.choice(ks, N, (K,), replace=True, p=p)
+            seeds = target[samp]
+            # jitter breaks exact duplicates when K > n distinct tokens
+            seeds = seeds + 1e-3 * jnp.std(target) * jax.random.normal(
+                kn, seeds.shape, seeds.dtype)
+            new_emb = jnp.where(dead[:, None], seeds, new_emb)
+            new_cnt = jnp.where(dead, uniform_share, new_cnt)
+        return next_residual, (new_emb, new_cnt)
+
+    _, (new_books, new_counts) = jax.lax.scan(
+        one_book, X, (books.astype(jnp.float32), counts.astype(jnp.float32),
+                      book_keys))
+    return new_books, new_counts
+
+
+def usage_stats(codes: jax.Array, n_embed: int,
+                valid: Optional[jax.Array] = None) -> dict:
+    """Per-book codebook-utilization stats from transmitted indices.
+
+    codes: [B, T, n_books] int32; valid: optional [T] or [B, T] bool. Returns
+    {"bits": [n_books] measured entropy in bits/token, "used_frac": [n_books]
+    fraction of codes hit, "counts": [n_books, K]}. This is the observability
+    the round-1 collapse lacked (VERDICT weak #2): nominal rate is
+    ``n_books * log2(K)``; the measured sum of ``bits`` is what the stream
+    actually carries.
+    """
+    B, T, n_books = codes.shape
+    if valid is None:
+        w = jnp.ones((B, T), jnp.float32)
+    else:
+        w = jnp.broadcast_to(jnp.asarray(valid, jnp.float32), (B, T))
+    w_flat = jnp.tile(w.reshape(-1), n_books)
+    offsets = jnp.arange(n_books, dtype=codes.dtype) * n_embed
+    idx_flat = jnp.transpose(codes + offsets[None, None, :], (2, 0, 1)).reshape(-1)
+    counts = jax.ops.segment_sum(
+        w_flat, idx_flat, num_segments=n_books * n_embed
+    ).reshape(n_books, n_embed)
+    total = jnp.maximum(jnp.sum(counts, axis=1, keepdims=True), 1e-9)
+    probs = counts / total
+    bits = -jnp.sum(jnp.where(probs > 0, probs * jnp.log2(
+        jnp.maximum(probs, 1e-30)), 0.0), axis=1)
+    used = jnp.mean((counts > 0).astype(jnp.float32), axis=1)
+    return {"bits": bits, "used_frac": used, "counts": counts}

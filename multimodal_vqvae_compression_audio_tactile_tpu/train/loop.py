@@ -26,7 +26,7 @@ import optax
 from ..core.config import CodecConfig, TrainConfig
 from ..losses.losses import codec_loss
 from ..models import allpred_ar
-from ..ops.rvq import ema_update
+from ..ops import rvq
 from ..parallel import mesh as pmesh
 from ..utils import artifacts
 from . import checkpoint as ckpt
@@ -52,13 +52,20 @@ def cosine_epoch_lr(base_lr: float, epochs: int, min_frac: float,
     return schedule
 
 
+_EMA_ONLY_KEYS = ("vq_books", "vq_counts")
+
+
 def _adamw_mask(head: dict) -> dict:
     """Mask: True = optimized by AdamW; the VQ books train by EMA only
-    (reference excludes ``vq.books`` from the optimizer, :375)."""
-    return jax.tree.map(lambda _: True,
-                        {k: v for k, v in head.items() if k != "vq_books"}
-                        ) | {"vq_books": jax.tree.map(lambda _: False,
-                                                      head["vq_books"])}
+    (reference excludes ``vq.books`` from the optimizer, :375). The EMA
+    cluster-size tracker is likewise state, not an AdamW parameter."""
+    mask = jax.tree.map(
+        lambda _: True,
+        {k: v for k, v in head.items() if k not in _EMA_ONLY_KEYS})
+    for k in _EMA_ONLY_KEYS:
+        if k in head:
+            mask[k] = jax.tree.map(lambda _: False, head[k])
+    return mask
 
 
 def make_optimizer(head: dict, tcfg: TrainConfig, steps_per_epoch: int
@@ -74,7 +81,7 @@ def make_optimizer(head: dict, tcfg: TrainConfig, steps_per_epoch: int
     return optax.apply_if_finite(tx, max_consecutive_errors=10**6)
 
 
-METRIC_KEYS = ("total", "l1", "stft", "mel")
+METRIC_KEYS = ("total", "l1", "stft", "mel", "vq_bits", "vq_bits_min", "vq_used")
 
 
 def make_train_step(cfg: CodecConfig, tcfg: TrainConfig,
@@ -82,9 +89,12 @@ def make_train_step(cfg: CodecConfig, tcfg: TrainConfig,
                     ema_decay: Optional[float] = None):
     """Build the jitted train step over (state, backbones, batch, rng, do_ema).
 
-    Steps return metrics as ONE [4] array (METRIC_KEYS order): every device->host
+    Steps return metrics as ONE [len(METRIC_KEYS)] array: every device->host
     fetch over a tunneled TPU costs ~seconds of polling latency and device_get
-    fetches per leaf, so scalar dicts are packed.
+    fetches per leaf, so scalar dicts are packed. vq_bits/vq_bits_min/vq_used
+    are the per-book codebook-utilization stats whose absence made the round-1
+    collapse invisible (VERDICT weak #2): mean/min measured entropy in
+    bits/book and the mean fraction of codes hit.
     """
     decay = ema_decay if ema_decay is not None else cfg.rvq.ema_decay
 
@@ -98,7 +108,15 @@ def make_train_step(cfg: CodecConfig, tcfg: TrainConfig,
                                   w_stft=tcfg.loss.w_stft,
                                   w_melcos=tcfg.loss.w_melcos,
                                   sr=tcfg.target_sr)
-        return total, (parts, out["r_tokens"], out["valid"])
+        return total, (parts, out["r_tokens"], out["valid"], out["codes"])
+
+    def _pack_metrics(parts, codes, valid):
+        stats = rvq.usage_stats(codes, cfg.rvq.n_embed, valid=valid)
+        parts = dict(parts,
+                     vq_bits=jnp.mean(stats["bits"]),
+                     vq_bits_min=jnp.min(stats["bits"]),
+                     vq_used=jnp.mean(stats["used_frac"]))
+        return jnp.stack([parts[k] for k in METRIC_KEYS])
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, backbones: dict, a, tc, base_rng,
@@ -108,25 +126,30 @@ def make_train_step(cfg: CodecConfig, tcfg: TrainConfig,
         # a tunneled TPU)
         rng = (jax.random.fold_in(base_rng, state.step)
                if base_rng is not None else None)
-        (total, (parts, r_tokens, valid)), grads = jax.value_and_grad(
+        (total, (parts, r_tokens, valid, codes)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.head, backbones, a, tc, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.head)
         head = optax.apply_updates(state.head, updates)
         # do_ema is traced (EMA is cheap): one compiled program covers the
         # warmup and post-warmup epochs instead of two multi-minute compiles
-        books = ema_update(jnp.array(head["vq_books"]), r_tokens,
-                           valid=jnp.broadcast_to(valid[None],
-                                                  r_tokens.shape[::2]),
-                           decay=decay)
-        books = jnp.where(jnp.asarray(do_ema), books, head["vq_books"])
-        head = {**head, "vq_books": books}
-        metrics = jnp.stack([parts[k] for k in METRIC_KEYS])
+        valid_bt = jnp.broadcast_to(valid[None], r_tokens.shape[::2])
+        reinit_key = (jax.random.fold_in(rng, 0x5EED) if rng is not None
+                      else jax.random.key(0))
+        books, counts = rvq.ema_update_with_reinit(
+            jnp.array(head["vq_books"]), jnp.array(head["vq_counts"]),
+            r_tokens, reinit_key, valid=valid_bt, decay=decay,
+            ema_mode=cfg.rvq.ema_mode, dead_frac=cfg.rvq.dead_frac)
+        do_ema = jnp.asarray(do_ema)
+        head = {**head,
+                "vq_books": jnp.where(do_ema, books, head["vq_books"]),
+                "vq_counts": jnp.where(do_ema, counts, head["vq_counts"])}
+        metrics = _pack_metrics(parts, codes, valid)
         return TrainState(head, opt_state, state.step + 1), metrics
 
     @jax.jit
     def eval_step(head: dict, backbones: dict, a, tc):
-        total, (parts, _, _) = loss_fn(head, backbones, a, tc, None)
-        return jnp.stack([parts[k] for k in METRIC_KEYS])
+        total, (parts, _, valid, codes) = loss_fn(head, backbones, a, tc, None)
+        return _pack_metrics(parts, codes, valid)
 
     return train_step, eval_step
 
@@ -159,7 +182,10 @@ def train_codec(
     resumed_hist = None
     last_path = os.path.join(out_dir, "last.msgpack")
     if resume and os.path.exists(last_path):
-        head, last_epoch, resumed_hist = ckpt.load_checkpoint(last_path, head)
+        # tolerant: checkpoints from before a head-schema addition (e.g.
+        # vq_counts) resume with template values for the new leaves
+        head, last_epoch, resumed_hist = ckpt.load_checkpoint_tolerant(
+            last_path, head)
         start_epoch = last_epoch + 1
         log(f"[resume] from {last_path} at epoch {last_epoch}")
 
@@ -187,7 +213,8 @@ def train_codec(
     best_val = float("inf")
     best_head = None  # on-device until the final disk write (slow host links)
     best_epoch = 0
-    hist = {"train": [], "val": [], "l1": [], "stft": [], "mel": [], "ema": []}
+    hist = {"train": [], "val": [], "l1": [], "stft": [], "mel": [], "ema": [],
+            "vq_bits": [], "vq_bits_min": [], "vq_used": []}
     if resumed_hist:
         hist.update({k: list(v) for k, v in resumed_hist.items()})
         if hist["val"]:
@@ -199,63 +226,73 @@ def train_codec(
 
     base_rng = jax.random.key(seed + 1)
     acp = ckpt.AsyncCheckpointer()
-    for ep in range(start_epoch, tcfg.epochs + 1):
-        t0 = time.time()
-        step_metrics = []  # [4] device arrays; ONE stacked fetch per epoch
-        do_ema = ep > cfg.rvq.ema_warm_epochs
-        for a, tc in train_batches(ep):
-            a, tc = put((a, tc))
-            state, metrics = train_step(state, backbones, a, tc, base_rng,
-                                        do_ema=do_ema)
-            step_metrics.append(metrics)
-        val_metrics = [eval_step(state.head, backbones, *put((a, tc)))
-                       for a, tc in val_batches()]
-        # exactly ONE device->host fetch for the whole epoch: train and val
-        # means ride the same transfer (each fetch costs a tunnel roundtrip)
-        packed = np.asarray(jnp.stack([
-            jnp.stack(step_metrics).mean(0) if step_metrics
-            else jnp.zeros(4),
-            jnp.stack(val_metrics).mean(0) if val_metrics
-            else jnp.zeros(4)]))
-        train_mean, val_mean = packed[0], packed[1]
-        sums = dict(zip(METRIC_KEYS, train_mean.tolist()))
-        hist["train"].append(sums["total"])
-        hist["l1"].append(sums["l1"])
-        hist["stft"].append(sums["stft"])
-        hist["mel"].append(sums["mel"])
-        hist["ema"].append(1.0 if do_ema else 0.0)
-        v = float(val_mean[0])
-        hist["val"].append(v)
+    # try/finally: queued last/best writes survive an epoch raising or a
+    # KeyboardInterrupt (the writer thread is drained before exit)
+    try:
+        for ep in range(start_epoch, tcfg.epochs + 1):
+            t0 = time.time()
+            step_metrics = []  # metric vectors on device; ONE fetch per epoch
+            do_ema = ep > cfg.rvq.ema_warm_epochs
+            for a, tc in train_batches(ep):
+                a, tc = put((a, tc))
+                state, metrics = train_step(state, backbones, a, tc, base_rng,
+                                            do_ema=do_ema)
+                step_metrics.append(metrics)
+            val_metrics = [eval_step(state.head, backbones, *put((a, tc)))
+                           for a, tc in val_batches()]
+            # exactly ONE device->host fetch for the whole epoch: train and val
+            # means ride the same transfer (each fetch costs a tunnel roundtrip)
+            nm = len(METRIC_KEYS)
+            packed = np.asarray(jnp.stack([
+                jnp.stack(step_metrics).mean(0) if step_metrics
+                else jnp.zeros(nm),
+                jnp.stack(val_metrics).mean(0) if val_metrics
+                else jnp.zeros(nm)]))
+            train_mean, val_mean = packed[0], packed[1]
+            sums = dict(zip(METRIC_KEYS, train_mean.tolist()))
+            hist["train"].append(sums["total"])
+            hist["l1"].append(sums["l1"])
+            hist["stft"].append(sums["stft"])
+            hist["mel"].append(sums["mel"])
+            hist["ema"].append(1.0 if do_ema else 0.0)
+            hist["vq_bits"].append(sums["vq_bits"])
+            hist["vq_bits_min"].append(sums["vq_bits_min"])
+            hist["vq_used"].append(sums["vq_used"])
+            v = float(val_mean[0])
+            hist["val"].append(v)
 
-        log(f"Epoch {ep:03d} | train {hist['train'][-1]:.4f} | val {v:.4f} | "
-            f"L1 {hist['l1'][-1]:.4f} | STFT {hist['stft'][-1]:.4f} | "
-            f"MEL {hist['mel'][-1]:.4f} | {time.time()-t0:.1f}s")
+            log(f"Epoch {ep:03d} | train {hist['train'][-1]:.4f} | val {v:.4f}"
+                f" | L1 {hist['l1'][-1]:.4f} | STFT {hist['stft'][-1]:.4f} | "
+                f"MEL {hist['mel'][-1]:.4f} | VQ {sums['vq_bits']:.2f}b"
+                f"(min {sums['vq_bits_min']:.2f}, used {sums['vq_used']:.2f})"
+                f" | {time.time()-t0:.1f}s")
 
-        # divergence recovery (same rationale as train/pretrain_backbone.py:
-        # the finite-update gate blocks NaN/Inf but not finite blowups)
-        if (best_head is not None and np.isfinite(hist["train"][-1])
-                and hist["train"][-1] > 5.0 * max(best_val, 1e-9)):
-            log(f"divergence at epoch {ep} (train {hist['train'][-1]:.3f} vs "
-                f"best val {best_val:.3f}): restoring best (epoch "
-                f"{best_epoch}), resetting optimizer")
-            restored = jax.tree.map(jnp.array, best_head)
-            state = TrainState(restored, jax.device_put(tx.init(restored)),
-                               state.step)
+            # divergence recovery (same rationale as train/pretrain_backbone.py:
+            # the finite-update gate blocks NaN/Inf but not finite blowups)
+            if (best_head is not None and np.isfinite(hist["train"][-1])
+                    and hist["train"][-1] > 5.0 * max(best_val, 1e-9)):
+                log(f"divergence at epoch {ep} (train {hist['train'][-1]:.3f} "
+                    f"vs best val {best_val:.3f}): restoring best (epoch "
+                    f"{best_epoch}), resetting optimizer")
+                restored = jax.tree.map(jnp.array, best_head)
+                state = TrainState(restored, jax.device_put(tx.init(restored)),
+                                   state.step)
 
-        if ep % save_every == 0 or ep == tcfg.epochs:
-            # async: the ~35 MB head pull overlaps the next epoch's compute
-            acp.save(os.path.join(out_dir, "last.msgpack"),
-                     state.head, ep, hist)
-        if v + 1e-6 < best_val and ep > tcfg.best_after_epoch:
-            best_val = v
-            best_epoch = ep
-            best_head = jax.tree.map(jnp.array, state.head)  # device-side copy
-            log("new best")
+            if ep % save_every == 0 or ep == tcfg.epochs:
+                # async: the ~35 MB head pull overlaps the next epoch's compute
+                acp.save(os.path.join(out_dir, "last.msgpack"),
+                         state.head, ep, hist)
+            if v + 1e-6 < best_val and ep > tcfg.best_after_epoch:
+                best_val = v
+                best_epoch = ep
+                best_head = jax.tree.map(jnp.array, state.head)  # device copy
+                log("new best")
 
-    if best_head is not None:
-        acp.save(os.path.join(out_dir, "best.msgpack"),
-                 best_head, best_epoch, hist)
-    acp.close()
+        if best_head is not None:
+            acp.save(os.path.join(out_dir, "best.msgpack"),
+                     best_head, best_epoch, hist)
+    finally:
+        acp.close()
     artifacts.write_hist(out_dir, hist)
     artifacts.write_curves(out_dir, hist, title="AllPredAR A->T (TPU)")
     return hist

@@ -230,65 +230,79 @@ def pretrain_backbone(
     best_val = float("inf")
     best_params = None   # kept on device; written to disk at the end (device->
     best_epoch = 0       # host pulls of a 300 MB model can cost minutes/save)
+    best_d = None        # (d_params, d_opt_state) snapshot for GAN recovery
     hist = {"train": [], "val": []}
     acp = ckpt.AsyncCheckpointer()
-    for ep in range(1, tcfg.epochs + 1):
-        t0 = time.time()
-        step_fn = select_step(ep)
-        step_parts = []  # pulled to host once per epoch (tunnel-friendly)
-        for x in train_batches(ep):
-            x = put(x)
-            state, total = step_fn(state, x, None)
-            step_parts.append(total)
-        hist["train"].append(0.0)  # filled from the fused fetch below
+    try:
+        for ep in range(1, tcfg.epochs + 1):
+            t0 = time.time()
+            step_fn = select_step(ep)
+            step_parts = []  # pulled to host once per epoch (tunnel-friendly)
+            for x in train_batches(ep):
+                x = put(x)
+                state, total = step_fn(state, x, None)
+                step_parts.append(total)
+            hist["train"].append(0.0)  # filled from the fused fetch below
 
-        val_parts = []
-        for x in val_batches():
-            x = put(x)
-            val_parts.append(eval_fn(state.params, x))
-        # ONE device->host fetch per epoch: train+val means share the transfer
-        packed = np.asarray(jnp.stack([
-            jnp.stack(step_parts).mean() if step_parts else jnp.zeros(()),
-            jnp.stack(val_parts).mean() if val_parts else jnp.zeros(())]))
-        hist["train"][-1] = float(packed[0])
-        v = float(packed[1])
-        hist["val"].append(v)
-        log(f"[pretrain] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
-            f"val {v:.4f} | {time.time()-t0:.1f}s")
+            val_parts = []
+            for x in val_batches():
+                x = put(x)
+                val_parts.append(eval_fn(state.params, x))
+            # ONE device->host fetch per epoch: train+val means share the transfer
+            packed = np.asarray(jnp.stack([
+                jnp.stack(step_parts).mean() if step_parts else jnp.zeros(()),
+                jnp.stack(val_parts).mean() if val_parts else jnp.zeros(())]))
+            hist["train"][-1] = float(packed[0])
+            v = float(packed[1])
+            hist["val"].append(v)
+            log(f"[pretrain] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
+                f"val {v:.4f} | {time.time()-t0:.1f}s")
 
-        # divergence recovery: long runs can blow up mid-schedule (observed:
-        # train 0.51 -> 10 -> permanently-dead 1.19 at epoch ~150 of 400; the
-        # finite-gate only blocks NaN/Inf, not finite explosions). When the
-        # train loss leaves the healthy band, restore the best params and
-        # clear the optimizer moments (they carry the blown-up gradient
-        # state); training resumes from the best point on the same schedule.
-        # threshold 5x: GAN-phase totals run ~2x the recon-phase best val
-        # (adversarial terms), observed explosions are >15x
-        if (best_params is not None and np.isfinite(hist["train"][-1])
-                and hist["train"][-1] > 5.0 * max(best_val, 1e-9)
-                and ep > tcfg.best_after_epoch):
-            log(f"[pretrain] divergence at epoch {ep} (train "
-                f"{hist['train'][-1]:.3f} vs best val {best_val:.3f}): "
-                f"restoring best (epoch {best_epoch}), resetting optimizer")
-            restored = jax.tree.map(jnp.array, best_params)
-            state = state._replace(params=restored,
-                                   opt_state=jax.device_put(tx.init(restored)))
+            # divergence recovery: long runs can blow up mid-schedule (observed:
+            # train 0.51 -> 10 -> permanently-dead 1.19 at epoch ~150 of 400; the
+            # finite-gate only blocks NaN/Inf, not finite explosions). When the
+            # train loss leaves the healthy band, restore the best params and
+            # clear the optimizer moments (they carry the blown-up gradient
+            # state); training resumes from the best point on the same schedule.
+            # threshold 5x: GAN-phase totals run ~2x the recon-phase best val
+            # (adversarial terms), observed explosions are >15x
+            if (best_params is not None and np.isfinite(hist["train"][-1])
+                    and hist["train"][-1] > 5.0 * max(best_val, 1e-9)
+                    and ep > tcfg.best_after_epoch):
+                log(f"[pretrain] divergence at epoch {ep} (train "
+                    f"{hist['train'][-1]:.3f} vs best val {best_val:.3f}): "
+                    f"restoring best (epoch {best_epoch}), resetting optimizer")
+                restored = jax.tree.map(jnp.array, best_params)
+                state = state._replace(params=restored,
+                                       opt_state=jax.device_put(tx.init(restored)))
+                if gan is not None and best_d is not None:
+                    # restore the adversary too: keeping the diverged discriminator
+                    # (and its optimizer moments) re-exposes the restored generator
+                    # to the exact adversary state that drove the blowup
+                    d_restored = jax.tree.map(jnp.array, best_d)
+                    state = state._replace(
+                        d_params=d_restored,
+                        d_opt_state=jax.device_put(tx_d.init(d_restored)))
 
-        if ep % save_every == 0 or ep == tcfg.epochs:
-            # async: the ~300 MB backbone pull overlaps the next epoch
-            acp.save(os.path.join(out_dir, "last.msgpack"),
-                     state.params, ep, hist)
-        if v < best_val:
-            best_val = v
-            best_epoch = ep
-            best_params = jax.tree.map(jnp.array, state.params)  # device copy
+            if ep % save_every == 0 or ep == tcfg.epochs:
+                # async: the ~300 MB backbone pull overlaps the next epoch
+                acp.save(os.path.join(out_dir, "last.msgpack"),
+                         state.params, ep, hist)
+            if v < best_val:
+                best_val = v
+                best_epoch = ep
+                best_params = jax.tree.map(jnp.array, state.params)  # device copy
+                if gan is not None:
+                    best_d = jax.tree.map(jnp.array, state.d_params)
 
-    if best_params is not None:
-        acp.save(os.path.join(out_dir, "best.msgpack"),
-                 best_params, best_epoch, hist)
-    if gan is not None:
-        acp.save(os.path.join(out_dir, "disc_last.msgpack"),
-                 state.d_params, tcfg.epochs, {})
-    acp.close()
+        if best_params is not None:
+            acp.save(os.path.join(out_dir, "best.msgpack"),
+                     best_params, best_epoch, hist)
+        if gan is not None:
+            acp.save(os.path.join(out_dir, "disc_last.msgpack"),
+                     state.d_params, tcfg.epochs, {})
+    finally:
+        # queued writes survive an epoch raising (writer drained)
+        acp.close()
     artifacts.write_hist(out_dir, hist)
     return hist

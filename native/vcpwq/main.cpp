@@ -146,6 +146,7 @@ int main(int argc, char** argv) {
   if (argc >= 6 && !strcmp(argv[1], "batch")) {
     std::string in_dir = argv[2], dec_dir = argv[3], comp_dir = argv[4];
     int b = atoi(argv[5]);
+    bool v1 = argc >= 7 && !strcmp(argv[6], "v1");
     mkdir(dec_dir.c_str(), 0755);
     mkdir(comp_dir.c_str(), 0755);
     DIR* d = opendir(in_dir.c_str());
@@ -160,7 +161,7 @@ int main(int argc, char** argv) {
       snprintf(bstr, sizeof(bstr), "_%d", b);
       std::string comp = comp_dir + "/" + stem + bstr + ".binary";
       std::string dec = dec_dir + "/" + stem + bstr + ".wav";
-      if (do_encode(in, comp, b) == 0 && do_decode(comp, dec) == 0) ++n;
+      if (do_encode(in, comp, b, v1) == 0 && do_decode(comp, dec) == 0) ++n;
     }
     closedir(d);
     printf("[vcpwq] coded %d files at b=%d\n", n, b);
@@ -169,6 +170,6 @@ int main(int argc, char** argv) {
   fprintf(stderr,
           "usage: vcpwq_codec encode IN.wav OUT.binary B [v1]\n"
           "       vcpwq_codec decode IN.binary OUT.wav\n"
-          "       vcpwq_codec batch IN_DIR DEC_DIR COMP_DIR B\n");
+          "       vcpwq_codec batch IN_DIR DEC_DIR COMP_DIR B [v1]\n");
   return 2;
 }
