@@ -235,13 +235,21 @@ def _l2n(x: jax.Array, axis: int = -1, eps: float = 1e-8) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("n_quantizers",))
-def quantize(params: dict, z: jax.Array, n_quantizers: Optional[int] = None
+def quantize(params: dict, z: jax.Array, n_quantizers: Optional[int] = None,
+             nq_per_example: Optional[jax.Array] = None,
              ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Residual VQ over factorized codebooks.
 
     z: [B, C, T] -> (z_q [B, C, T] with straight-through, codes [B, T, n_use],
     commitment_loss, codebook_loss). Mirrors ``dac.quantizer(z)`` /
     ``dac.encode(x, n_quantizers)`` rate scalability.
+
+    ``nq_per_example``: optional [B] int array — quantizer dropout
+    (SoundStream §3.2 / DAC training): example b's reconstruction uses only its
+    first ``nq_per_example[b]`` books, so one model serves every eval depth in
+    the reference's n_q sweep (Evaluation/dac_vcpwq_proposed6_latency.py:569).
+    Traced (no recompile per draw); the scan still runs all books, contributions
+    beyond the depth are masked from z_q and from both VQ losses.
     """
     q = params["quantizer"] if "quantizer" in params else params
     n_books = q["codebooks"].shape[0]
@@ -249,9 +257,14 @@ def quantize(params: dict, z: jax.Array, n_quantizers: Optional[int] = None
 
     B, C, T = z.shape
     x = jnp.transpose(z, (0, 2, 1)).reshape(B * T, C).astype(jnp.float32)
+    if nq_per_example is None:
+        w_tok = None
+    else:
+        # [B] -> [N]: token belongs to example n // T
+        w_tok = jnp.repeat(nq_per_example, T).astype(jnp.float32)
 
     def body(carry, book):
-        residual, zq = carry
+        residual, zq, bi = carry
         in_p, out_p, cb = book
         e = jnp.dot(residual, in_p,
                     precision=jax.lax.Precision.HIGHEST)  # [N, cd]
@@ -259,18 +272,28 @@ def quantize(params: dict, z: jax.Array, n_quantizers: Optional[int] = None
         scores = jnp.dot(en, cn.T, precision=jax.lax.Precision.HIGHEST)
         idx = jnp.argmax(scores, axis=1)
         q_cd = cb[idx]                                    # [N, cd]
-        # losses in the factorized space (stop-grad pairings)
-        commit = jnp.mean((e - jax.lax.stop_gradient(q_cd)) ** 2)
-        codebk = jnp.mean((jax.lax.stop_gradient(e) - q_cd) ** 2)
+        if w_tok is None:
+            active = 1.0
+            frac = 1.0
+        else:
+            active = (bi < w_tok).astype(jnp.float32)[:, None]  # [N, 1]
+            frac = jnp.mean((bi < w_tok).astype(jnp.float32)) + 1e-9
+        # losses in the factorized space (stop-grad pairings), masked to
+        # active (example, book) pairs and renormalized by the active fraction
+        commit = jnp.mean(active * (e - jax.lax.stop_gradient(q_cd)) ** 2) / frac
+        codebk = jnp.mean(active * (jax.lax.stop_gradient(e) - q_cd) ** 2) / frac
         # straight-through in the factorized space, then project out
         q_st = e + jax.lax.stop_gradient(q_cd - e)
         z_b = jnp.dot(q_st, out_p,
                       precision=jax.lax.Precision.HIGHEST)  # [N, C]
-        return (residual - jax.lax.stop_gradient(z_b), zq + z_b), (idx, commit, codebk)
+        # the residual chain always advances (deeper books still train on the
+        # true residual); only the output sum and losses honor the dropout
+        return (residual - jax.lax.stop_gradient(z_b), zq + active * z_b,
+                bi + 1.0), (idx, commit, codebk)
 
     books = (q["in_proj"][:use], q["out_proj"][:use], q["codebooks"][:use])
-    (_, zq_flat), (idxs, commits, codebks) = jax.lax.scan(
-        body, (x, jnp.zeros_like(x)), books)
+    (_, zq_flat, _), (idxs, commits, codebks) = jax.lax.scan(
+        body, (x, jnp.zeros_like(x), jnp.zeros((), jnp.float32)), books)
 
     zq = jnp.transpose(zq_flat.reshape(B, T, C), (0, 2, 1)).astype(z.dtype)
     codes = jnp.transpose(idxs, (1, 0)).reshape(B, T, use).astype(jnp.int32)

@@ -131,54 +131,57 @@ def train_plc(
 
     base_rng = jax.random.key(seed + 1)
     acp = ckpt.AsyncCheckpointer()
-    for ep in range(1, tcfg.epochs + 1):
-        t0 = time.time()
-        step_parts = []  # pulled to host once per epoch (tunnel-friendly)
-        for a, tc in train_batches(ep):
-            mask = _make_mask(mask_rng, a.shape[0], t_lat, pcfg, mode, tps)
-            a, tc, mask = put((a, tc, mask))
-            state, total = train_step(state, backbones, a, tc, mask, base_rng)
-            step_parts.append(total)
-        val_rng = np.random.default_rng(seed + 999)  # fixed masks across epochs
-        val_parts = []
-        for a, tc in val_batches():
-            mask = _make_mask(val_rng, a.shape[0], t_lat, pcfg, mode, tps)
-            a, tc, mask = put((a, tc, mask))
-            val_parts.append(eval_step(state.head, backbones, a, tc, mask))
-        # ONE device->host fetch per epoch: train+val means share the transfer
-        packed = np.asarray(jnp.stack([
-            jnp.stack(step_parts).mean() if step_parts else jnp.zeros(()),
-            jnp.stack(val_parts).mean() if val_parts else jnp.zeros(())]))
-        hist["train"].append(float(packed[0]))
-        v = float(packed[1])
-        hist["val"].append(v)
-        log(f"[plc:{mode}] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
-            f"val {v:.4f} | {time.time()-t0:.1f}s")
+    try:
+        for ep in range(1, tcfg.epochs + 1):
+            t0 = time.time()
+            step_parts = []  # pulled to host once per epoch (tunnel-friendly)
+            for a, tc in train_batches(ep):
+                mask = _make_mask(mask_rng, a.shape[0], t_lat, pcfg, mode, tps)
+                a, tc, mask = put((a, tc, mask))
+                state, total = train_step(state, backbones, a, tc, mask, base_rng)
+                step_parts.append(total)
+            val_rng = np.random.default_rng(seed + 999)  # fixed masks across epochs
+            val_parts = []
+            for a, tc in val_batches():
+                mask = _make_mask(val_rng, a.shape[0], t_lat, pcfg, mode, tps)
+                a, tc, mask = put((a, tc, mask))
+                val_parts.append(eval_step(state.head, backbones, a, tc, mask))
+            # ONE device->host fetch per epoch: train+val means share the transfer
+            packed = np.asarray(jnp.stack([
+                jnp.stack(step_parts).mean() if step_parts else jnp.zeros(()),
+                jnp.stack(val_parts).mean() if val_parts else jnp.zeros(())]))
+            hist["train"].append(float(packed[0]))
+            v = float(packed[1])
+            hist["val"].append(v)
+            log(f"[plc:{mode}] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
+                f"val {v:.4f} | {time.time()-t0:.1f}s")
 
-        # divergence recovery (same rationale as train/pretrain_backbone.py)
-        if (best_head is not None and np.isfinite(hist["train"][-1])
-                and hist["train"][-1] > 5.0 * max(best_val, 1e-9)):
-            log(f"[plc:{mode}] divergence at epoch {ep}: restoring best "
-                f"(epoch {best_epoch}), resetting optimizer")
-            restored = jax.tree.map(jnp.array, best_head)
-            state = PLCTrainState(restored,
-                                  jax.device_put(tx.init(restored)),
-                                  state.step)
+            # divergence recovery (same rationale as train/pretrain_backbone.py)
+            if (best_head is not None and np.isfinite(hist["train"][-1])
+                    and hist["train"][-1] > 5.0 * max(best_val, 1e-9)):
+                log(f"[plc:{mode}] divergence at epoch {ep}: restoring best "
+                    f"(epoch {best_epoch}), resetting optimizer")
+                restored = jax.tree.map(jnp.array, best_head)
+                state = PLCTrainState(restored,
+                                      jax.device_put(tx.init(restored)),
+                                      state.step)
 
-        if ep % save_every == 0 or ep == tcfg.epochs:
-            # async: the head pull overlaps the next epoch's compute
-            acp.save(os.path.join(out_dir, "last.msgpack"),
-                     state.head, ep, hist)
-        if v + 1e-6 < best_val and ep > tcfg.best_after_epoch:
-            best_val = v
-            best_epoch = ep
-            best_head = jax.tree.map(jnp.array, state.head)
-            log("new best")
+            if ep % save_every == 0 or ep == tcfg.epochs:
+                # async: the head pull overlaps the next epoch's compute
+                acp.save(os.path.join(out_dir, "last.msgpack"),
+                         state.head, ep, hist)
+            if v + 1e-6 < best_val and ep > tcfg.best_after_epoch:
+                best_val = v
+                best_epoch = ep
+                best_head = jax.tree.map(jnp.array, state.head)
+                log("new best")
 
-    if best_head is not None:
-        acp.save(os.path.join(out_dir, "best.msgpack"),
-                 best_head, best_epoch, hist)
-    acp.close()
+        if best_head is not None:
+            acp.save(os.path.join(out_dir, "best.msgpack"),
+                     best_head, best_epoch, hist)
+    finally:
+        # queued writes survive an epoch raising (writer drained)
+        acp.close()
     artifacts.write_meta(out_dir, {
         "mode": mode,
         "plc": asdict_jsonable(pcfg),

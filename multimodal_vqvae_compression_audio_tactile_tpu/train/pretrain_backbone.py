@@ -40,6 +40,37 @@ class PretrainState(NamedTuple):
     step: jax.Array
 
 
+def warmup_cosine_lr(base_lr: float, total_steps: int, warmup_steps: int,
+                     min_frac: float):
+    """Per-step linear warmup -> cosine decay to min_frac * base_lr.
+
+    The pretrain recipe is this framework's own (the reference ships frozen
+    weights instead, Training/compare_dacvsproposal_3.py:344); per-step
+    scheduling fits the long runs the backbone actually needs — the round-1
+    one-batch diagnostic showed the loss cliff at ~300 steps, and round-1
+    runs totalled only ~2400."""
+    eta = base_lr * min_frac
+
+    def schedule(step):
+        warm = base_lr * (step + 1) / max(1, warmup_steps)
+        frac = jnp.clip((step - warmup_steps)
+                        / max(1, total_steps - warmup_steps), 0.0, 1.0)
+        cos = eta + 0.5 * (base_lr - eta) * (1.0 + jnp.cos(jnp.pi * frac))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return schedule
+
+
+def sample_nq_dropout(key: jax.Array, batch: int, n_books: int,
+                      p_full: float = 0.5) -> jax.Array:
+    """Quantizer-dropout depths [B]: full depth with prob p_full, else
+    uniform 1..n_books (SoundStream §3.2 / DAC quantizer_dropout=0.5)."""
+    kf, ku = jax.random.split(key)
+    full = jax.random.bernoulli(kf, p_full, (batch,))
+    uni = jax.random.randint(ku, (batch,), 1, n_books + 1)
+    return jnp.where(full, n_books, uni)
+
+
 def make_pretrain_step(cfg: DacConfig, tcfg: TrainConfig,
                        tx: optax.GradientTransformation,
                        w_commit: float = 0.25, w_codebook: float = 1.0):
@@ -47,11 +78,9 @@ def make_pretrain_step(cfg: DacConfig, tcfg: TrainConfig,
 
     def loss_fn(params, x, nq_per_ex):
         z = dac.encode(params, cfg, x)
-        # quantizer dropout: quantize at every depth is wasteful; instead use the
-        # max sampled depth and weight losses on the common prefix. Simpler and
-        # compiled-shape-stable: quantize with all books, plus one random prefix.
-        zq_full, _, commit, codebk = dac.quantize(params["quantizer"], z)
-        y = dac.decode(params, cfg, zq_full)
+        zq, _, commit, codebk = dac.quantize(params["quantizer"], z,
+                                             nq_per_example=nq_per_ex)
+        y = dac.decode(params, cfg, zq)
         T = min(y.shape[-1], x.shape[-1])
         total, parts = codec_loss(y[..., :T], x[..., :T], sr=cfg.sample_rate)
         total = total + w_commit * commit / n_books + w_codebook * codebk / n_books
@@ -59,7 +88,12 @@ def make_pretrain_step(cfg: DacConfig, tcfg: TrainConfig,
         return total, parts
 
     @partial(jax.jit, donate_argnums=(0,))
-    def pretrain_step(state: PretrainState, x, nq):
+    def pretrain_step(state: PretrainState, x, base_rng=None):
+        # quantizer dropout keyed on-device from the step counter (a host
+        # fold_in would block on a device->host read per step)
+        nq = (sample_nq_dropout(jax.random.fold_in(base_rng, state.step),
+                                x.shape[0], n_books)
+              if base_rng is not None else None)
         (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, x, nq)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -95,9 +129,10 @@ def make_gan_pretrain_step(cfg: DacConfig, tcfg: TrainConfig, gcfg: GanConfig,
     """
     n_books = cfg.n_codebooks
 
-    def recon(params, x):
+    def recon(params, x, nq=None):
         z = dac.encode(params, cfg, x)
-        zq, _, commit, codebk = dac.quantize(params["quantizer"], z)
+        zq, _, commit, codebk = dac.quantize(params["quantizer"], z,
+                                             nq_per_example=nq)
         y = dac.decode(params, cfg, zq)
         T = min(y.shape[-1], x.shape[-1])
         y, x = y[..., :T], x[..., :T]
@@ -105,8 +140,8 @@ def make_gan_pretrain_step(cfg: DacConfig, tcfg: TrainConfig, gcfg: GanConfig,
         total = total + w_commit * commit / n_books + w_codebook * codebk / n_books
         return y, x, total, parts
 
-    def g_loss_fn(params, d_params, x):
-        y, x_c, rec_total, parts = recon(params, x)
+    def g_loss_fn(params, d_params, x, nq):
+        y, x_c, rec_total, parts = recon(params, x, nq)
         adv, fm = gan_mod.gan_losses(d_params, gcfg, x_c, y)
         total = rec_total + gcfg.w_adv * adv + gcfg.w_fm * fm
         parts = {**parts, "adv": adv, "fm": fm, "total": total}
@@ -119,9 +154,12 @@ def make_gan_pretrain_step(cfg: DacConfig, tcfg: TrainConfig, gcfg: GanConfig,
         return gan_mod.disc_loss(real_logits, fake_logits, gcfg.loss_kind)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def gan_step(state: GanPretrainState, x):
+    def gan_step(state: GanPretrainState, x, base_rng=None):
+        nq = (sample_nq_dropout(jax.random.fold_in(base_rng, state.step),
+                                x.shape[0], n_books)
+              if base_rng is not None else None)
         (_, (parts, y, x_c)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.params, state.d_params, x)
+            g_loss_fn, has_aux=True)(state.params, state.d_params, x, nq)
         g_updates, g_opt = tx_g.update(g_grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, g_updates)
 
@@ -136,10 +174,14 @@ def make_gan_pretrain_step(cfg: DacConfig, tcfg: TrainConfig, gcfg: GanConfig,
                            parts["adv"], parts["fm"]]))
 
     @partial(jax.jit, donate_argnums=(0,))
-    def warmup_step(state: GanPretrainState, x):
+    def warmup_step(state: GanPretrainState, x, base_rng=None):
         """Reconstruction-only epochs before gcfg.start_epoch (D untouched)."""
+        nq = (sample_nq_dropout(jax.random.fold_in(base_rng, state.step),
+                                x.shape[0], n_books)
+              if base_rng is not None else None)
+
         def loss_only(params, x):
-            _, _, total, parts = recon(params, x)
+            _, _, total, parts = recon(params, x, nq)
             return total, parts
 
         (_, parts), grads = jax.value_and_grad(loss_only, has_aux=True)(
@@ -170,6 +212,8 @@ def pretrain_backbone(
     steps_per_epoch: int | None = None,
     save_every: int = 1,
     gan: GanConfig | None = None,
+    nq_dropout: bool = True,
+    warmup_steps: int | None = None,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Train one backbone; batches yield waveforms [B, 1, T] (single modality).
@@ -186,13 +230,18 @@ def pretrain_backbone(
     if steps_per_epoch is None:
         steps_per_epoch = max(1, sum(1 for _ in train_batches(0)))
 
-    from .loop import cosine_epoch_lr
-    schedule = cosine_epoch_lr(tcfg.lr, tcfg.epochs, tcfg.lr_min_frac,
-                               steps_per_epoch)
+    total_steps = tcfg.epochs * steps_per_epoch
+    if warmup_steps is None:
+        warmup_steps = min(500, max(50, total_steps // 20))
+    schedule = warmup_cosine_lr(tcfg.lr, total_steps, warmup_steps,
+                                tcfg.lr_min_frac)
     tx = optax.apply_if_finite(
         optax.chain(optax.clip_by_global_norm(tcfg.grad_clip),
                     optax.adamw(schedule, weight_decay=tcfg.weight_decay)),
         max_consecutive_errors=10**6)
+
+    # quantizer-dropout key (None disables: every step trains full depth)
+    nq_rng = jax.random.key(seed + 2) if nq_dropout else None
 
     if gan is not None:
         d_params = gan_mod.disc_init(jax.random.key(seed + 1), gan)
@@ -208,13 +257,14 @@ def pretrain_backbone(
 
         def select_step(ep: int):
             fn = gan_fn if ep >= gan.start_epoch else warmup_fn
-            return lambda st, x, _nq: (lambda r: (r[0], r[1][0]))(fn(st, x))
+            return lambda st, x, _nq: (lambda r: (r[0], r[1][0]))(
+                fn(st, x, nq_rng))
     else:
         state = PretrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
         base_step, eval_fn = make_pretrain_step(cfg, tcfg, tx)
 
         def select_step(ep: int):
-            return base_step
+            return lambda st, x, _nq: base_step(st, x, nq_rng)
 
     if mesh is None and len(jax.devices()) > 1 and \
             tcfg.batch % len(jax.devices()) == 0:

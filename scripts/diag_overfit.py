@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--no-quant", action="store_true",
                     help="bypass the quantizer (pure autoencoder bound)")
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--precision", default="highest",
+                    choices=["highest", "default"],
+                    help="conv/matmul precision (default = native bf16 MXU)")
     args = ap.parse_args()
 
     _common.setup_jax(cpu=args.tiny)
@@ -48,7 +51,10 @@ def main() -> None:
         codec_loss)
     from multimodal_vqvae_compression_audio_tactile_tpu.models import dac
 
+    import dataclasses
+
     cfg = DacConfig().tiny() if args.tiny else DacConfig()
+    cfg = dataclasses.replace(cfg, precision=args.precision)
     rng = np.random.default_rng(7)
 
     # one batch of synthetic tactile segments, exactly like the train pipeline

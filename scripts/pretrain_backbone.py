@@ -22,12 +22,18 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--seg-sec", type=float, default=1.0)
     ap.add_argument("--synth", type=int, default=0)
+    ap.add_argument("--stream", type=int, default=0, metavar="STEPS_PER_EPOCH",
+                    help="infinite fresh synthetic data (no file corpus): "
+                         "each epoch is STEPS_PER_EPOCH freshly generated "
+                         "batches; val is a fixed held-out generated set")
+    ap.add_argument("--save-every", type=int, default=1)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--gan", action="store_true",
                     help="adversarial recipe (MPD + MS-STFT discriminators)")
     ap.add_argument("--gan-start-epoch", type=int, default=1,
                     help="reconstruction-only warmup epochs before the GAN")
+    ap.add_argument("--no-nq-dropout", action="store_true")
     args = ap.parse_args()
     _common.setup_jax(cpu=args.cpu)
 
@@ -51,29 +57,52 @@ def main() -> None:
     tcfg = TrainConfig(epochs=args.epochs, batch=args.batch, seed=args.seed,
                        seg_sec=args.seg_sec)
 
-    if args.synth:
-        pairs = make_synth_corpus(os.path.join(args.out_dir, "_synth"),
-                                  n_pairs=args.synth, seed=args.seed)
-        wavs = [t for _, t, _ in pairs]  # tactile side
-    else:
-        wavs = sorted(glob.glob(os.path.join(args.wav_dir, "*.wav")))
-    # single-modality dataset: pair each file with itself
-    items = [(w, w, os.path.basename(w)) for w in wavs]
-    n_val = max(1, len(items) // 5)
-    ds_tr = SegmentDataset(items[n_val:], sr=cfg.sample_rate, seg=tcfg.seg)
-    ds_va = SegmentDataset(items[:n_val], sr=cfg.sample_rate, seg=tcfg.seg)
+    if args.stream:
+        from itertools import islice
 
-    def wav_only(it):
-        for a, _ in it:
-            yield a
+        from multimodal_vqvae_compression_audio_tactile_tpu.data.synth import (
+            stream_pretrain_batches)
+
+        stream = stream_pretrain_batches(tcfg.batch, seg=tcfg.seg,
+                                         sr=cfg.sample_rate, seed=tcfg.seed)
+        # fixed held-out validation set from a disjoint seed
+        val_set = list(islice(stream_pretrain_batches(
+            tcfg.batch, seg=tcfg.seg, sr=cfg.sample_rate,
+            seed=tcfg.seed + 10_000, prefetch=1), 8))
+        train_batches = lambda ep: islice(stream, args.stream)  # noqa: E731
+        val_batches = lambda: iter(val_set)                     # noqa: E731
+        steps_per_epoch = args.stream
+    else:
+        if args.synth:
+            pairs = make_synth_corpus(os.path.join(args.out_dir, "_synth"),
+                                      n_pairs=args.synth, seed=args.seed)
+            wavs = [t for _, t, _ in pairs]  # tactile side
+        else:
+            wavs = sorted(glob.glob(os.path.join(args.wav_dir, "*.wav")))
+        # single-modality dataset: pair each file with itself
+        items = [(w, w, os.path.basename(w)) for w in wavs]
+        n_val = max(1, len(items) // 5)
+        ds_tr = SegmentDataset(items[n_val:], sr=cfg.sample_rate, seg=tcfg.seg)
+        ds_va = SegmentDataset(items[:n_val], sr=cfg.sample_rate, seg=tcfg.seg)
+
+        def wav_only(it):
+            for a, _ in it:
+                yield a
+
+        train_batches = lambda ep: wav_only(                    # noqa: E731
+            batch_iterator(ds_tr, tcfg.batch, seed=tcfg.seed, epoch=ep))
+        val_batches = lambda: wav_only(                         # noqa: E731
+            batch_iterator(ds_va, tcfg.batch, shuffle=False, drop_last=False))
+        steps_per_epoch = None
 
     pretrain_backbone(
         cfg, tcfg,
-        train_batches=lambda ep: wav_only(
-            batch_iterator(ds_tr, tcfg.batch, seed=tcfg.seed, epoch=ep)),
-        val_batches=lambda: wav_only(
-            batch_iterator(ds_va, tcfg.batch, shuffle=False, drop_last=False)),
+        train_batches=train_batches,
+        val_batches=val_batches,
         out_dir=args.out_dir, seed=tcfg.seed,
+        steps_per_epoch=steps_per_epoch,
+        save_every=args.save_every,
+        nq_dropout=not args.no_nq_dropout,
         gan=GanConfig(start_epoch=args.gan_start_epoch) if args.gan else None)
 
 
