@@ -65,16 +65,24 @@ def conv1d_transpose(p: dict, x: jax.Array, stride: int,
                      precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """Transposed conv with output length exactly T * stride.
 
-    ``transpose_kernel=True`` gives the true gradient-of-conv semantics, matching
-    torch ConvTranspose1d(k=2r, stride=r, padding=ceil(r/2), output_padding=r%2)
-    bit-for-bit (verified in tests/test_dac_import.py).
+    Implemented as an input-dilated conv with the flipped kernel and the
+    cropping torch applies: matches
+    ConvTranspose1d(k=2r, stride=r, padding=ceil(r/2), output_padding=r%2)
+    bit-for-bit for EVERY stride including odd r=5 (the previous
+    conv_transpose+SAME formulation diverged on odd strides; verified in
+    tests/test_dac_import.py). This is the geometry of torch-DAC's
+    DecoderBlock, so real imported weights decode identically.
     """
     w = p["w"].astype(x.dtype)  # stored [C_out, C_in, k]
-    y = jax.lax.conv_transpose(
-        x, jnp.transpose(w, (2, 0, 1)),  # [k, C_out, C_in]
-        strides=(stride,), padding="SAME",
-        dimension_numbers=("NCH", "HIO", "NCH"),
-        transpose_kernel=True,
+    k = w.shape[-1]
+    pad = (stride + 1) // 2           # torch padding=ceil(r/2)
+    op = stride % 2                   # torch output_padding
+    y = jax.lax.conv_general_dilated(
+        x, jnp.flip(w, -1),
+        window_strides=(1,),
+        padding=[(k - 1 - pad, k - 1 - pad + op)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
         precision=precision,
     )
     return y + p["b"].astype(x.dtype)[None, :, None]
@@ -169,10 +177,12 @@ def _encoder_apply(p: dict, cfg: DacConfig, x: jax.Array) -> jax.Array:
     for block, r in zip(p["blocks"], cfg.encoder_rates):
         y = _unit_stack(block["units"], y, cfg, prec,
                         post_alpha=block["snake"]["alpha"])
-        # kernel 2r, stride r, total padding r (split asymmetrically for odd r)
-        # => output length exactly T / r
-        y = conv1d(block["down"], y, stride=r, padding=[(r // 2, (r + 1) // 2)],
-                   precision=prec)
+        # kernel 2r, stride r, symmetric padding ceil(r/2) — torch-DAC's
+        # exact geometry (descript EncoderBlock: padding=math.ceil(stride/2)),
+        # required for bit-parity through the weight-import bridge; output
+        # length is exactly T / r for r | T
+        y = conv1d(block["down"], y, stride=r,
+                   padding=[((r + 1) // 2, (r + 1) // 2)], precision=prec)
     y = snake(p["out_snake"], y)
     return conv1d(p["out_conv"], y, padding=1, precision=prec)
 
@@ -221,11 +231,16 @@ def _quantizer_init(key: jax.Array, cfg: DacConfig) -> dict:
     bound_in = 1.0 / math.sqrt(C)
     bound_out = 1.0 / math.sqrt(cd)
     return {
-        # per-book factorized projections (1x1 convs as matrices)
+        # per-book factorized projections (1x1 convs as matrices + biases;
+        # torch-DAC's in_proj/out_proj convs carry biases — required for
+        # imported-weight parity. Zero init keeps legacy checkpoints, whose
+        # tolerant loads fall back to these leaves, numerically unchanged.)
         "in_proj": jax.random.uniform(keys[0], (n, C, cd), jnp.float32,
                                       -bound_in, bound_in),
+        "in_bias": jnp.zeros((n, cd), jnp.float32),
         "out_proj": jax.random.uniform(keys[1], (n, cd, C), jnp.float32,
                                        -bound_out, bound_out),
+        "out_bias": jnp.zeros((n, C), jnp.float32),
         "codebooks": jax.random.normal(keys[2], (n, K, cd), jnp.float32),
     }
 
@@ -265,9 +280,9 @@ def quantize(params: dict, z: jax.Array, n_quantizers: Optional[int] = None,
 
     def body(carry, book):
         residual, zq, bi = carry
-        in_p, out_p, cb = book
+        in_p, in_b, out_p, out_b, cb = book
         e = jnp.dot(residual, in_p,
-                    precision=jax.lax.Precision.HIGHEST)  # [N, cd]
+                    precision=jax.lax.Precision.HIGHEST) + in_b  # [N, cd]
         en, cn = _l2n(e), _l2n(cb)
         scores = jnp.dot(en, cn.T, precision=jax.lax.Precision.HIGHEST)
         idx = jnp.argmax(scores, axis=1)
@@ -285,13 +300,14 @@ def quantize(params: dict, z: jax.Array, n_quantizers: Optional[int] = None,
         # straight-through in the factorized space, then project out
         q_st = e + jax.lax.stop_gradient(q_cd - e)
         z_b = jnp.dot(q_st, out_p,
-                      precision=jax.lax.Precision.HIGHEST)  # [N, C]
+                      precision=jax.lax.Precision.HIGHEST) + out_b  # [N, C]
         # the residual chain always advances (deeper books still train on the
         # true residual); only the output sum and losses honor the dropout
         return (residual - jax.lax.stop_gradient(z_b), zq + active * z_b,
                 bi + 1.0), (idx, commit, codebk)
 
-    books = (q["in_proj"][:use], q["out_proj"][:use], q["codebooks"][:use])
+    books = (q["in_proj"][:use], q["in_bias"][:use], q["out_proj"][:use],
+             q["out_bias"][:use], q["codebooks"][:use])
     (_, zq_flat, _), (idxs, commits, codebks) = jax.lax.scan(
         body, (x, jnp.zeros_like(x), jnp.zeros((), jnp.float32)), books)
 
@@ -311,6 +327,7 @@ def dequantize(params: dict, codes: jax.Array) -> jax.Array:
         cb[None, None], codes[..., None, None], axis=3)[..., 0, :]  # [B,T,n,cd]
     z = jnp.einsum("btnd,ndc->btc", q_cd, out_p,
                    precision=jax.lax.Precision.HIGHEST)
+    z = z + jnp.sum(q["out_bias"][:n_use], axis=0)[None, None, :]
     return jnp.transpose(z, (0, 2, 1))
 
 

@@ -97,17 +97,23 @@ def import_decoder(sd: Dict[str, np.ndarray], cfg: DacConfig) -> dict:
 
 def import_quantizer(sd: Dict[str, np.ndarray], cfg: DacConfig) -> dict:
     n = cfg.n_codebooks
-    in_proj, out_proj, codebooks = [], [], []
+    in_proj, in_bias, out_proj, out_bias, codebooks = [], [], [], [], []
     for i in range(n):
         p = f"quantizer.quantizers.{i}"
         w_in = _fuse_weight_norm(sd, f"{p}.in_proj")    # [cd, C, 1]
         w_out = _fuse_weight_norm(sd, f"{p}.out_proj")  # [C, cd, 1]
         in_proj.append(w_in[:, :, 0].T)                  # [C, cd]
         out_proj.append(w_out[:, :, 0].T)                # [cd, C]
+        # torch-DAC's projection convs carry biases; dropping them breaks
+        # code-index parity (caught by the torch-twin end-to-end test)
+        in_bias.append(np.asarray(sd[f"{p}.in_proj.bias"]))
+        out_bias.append(np.asarray(sd[f"{p}.out_proj.bias"]))
         codebooks.append(np.asarray(sd[f"{p}.codebook.weight"]))
     return {
         "in_proj": np.stack(in_proj).astype(np.float32),
+        "in_bias": np.stack(in_bias).astype(np.float32),
         "out_proj": np.stack(out_proj).astype(np.float32),
+        "out_bias": np.stack(out_bias).astype(np.float32),
         "codebooks": np.stack(codebooks).astype(np.float32),
     }
 
