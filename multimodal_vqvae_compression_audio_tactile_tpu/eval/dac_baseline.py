@@ -38,6 +38,8 @@ def eval_backbone_codec(
     ecfg: EvalConfig = EvalConfig(),
     n_q_list: Sequence[int] | None = None,
     latency_map: dict | None = None,
+    prepared: list | None = None,
+    forward_batch: int = 16,
     log=print,
 ) -> dict:
     """Returns {n_q: row} with the reference's JSON row schema.
@@ -46,10 +48,16 @@ def eval_backbone_codec(
     pull-free process (scripts/measure_latencies.py). In-process timing after
     any device->host pull is inflated ~100x on this machine's tunneled
     runtime, so callers that already pulled data should pre-measure.
+    ``prepared``: pre-loaded pairs (eval/prepared.py), shared across n_q
+    depths and with other evaluators; forwards run batched.
     """
     import jax
+
+    from .prepared import equal_length_batches, prepare_pairs
     params = jax.device_put(params)  # once: numpy jit args re-upload per call
     n_q_list = list(n_q_list or ecfg.dac_nq_list)
+    if prepared is None:
+        prepared = prepare_pairs(pairs, cfg.sample_rate, log=log)
     tps = probe_tokens_per_sec(params, cfg)
     bits_per_code = math.log2(cfg.codebook_size)
     buf_ms = buffer_delay_ms(tps)
@@ -85,21 +93,20 @@ def eval_backbone_codec(
                 warmup=ecfg.latency_warmup, repeats=ecfg.latency_repeats)
 
         st_vals, ps_vals = [], []
-        for _, t_path, _ in pairs:
-            ref, sr_ref = load_wav_mono(t_path)
-            scale = max(float(np.abs(ref).max()), 1e-8)
-            x24 = np.asarray(resample(np.asarray(ref / scale), sr_ref,
-                                      cfg.sample_rate))
-            y24 = np.asarray(_codec(jnp.asarray(x24[None])))[0]
-            est = np.asarray(resample(np.asarray(y24), cfg.sample_rate,
-                                      sr_ref)) * scale
-
-            psnr, r_a, e_a = M.align_and_psnr_raw(ref, est, peak_global,
-                                                  ecfg.max_align_shift)
-            ps_vals.append(psnr)
-            r24 = np.asarray(resample(np.asarray(r_a), sr_ref, ecfg.eval_sr))
-            e24 = np.asarray(resample(np.asarray(e_a), sr_ref, ecfg.eval_sr))
-            st_vals.append(M.stsim_batch(r24[None], e24[None])[0])
+        for idxs, _A, T in equal_length_batches(prepared, forward_batch):
+            Y = np.asarray(_codec(jnp.asarray(T)))
+            for j, i in enumerate(idxs):
+                p = prepared[i]
+                est = np.asarray(resample(np.asarray(Y[j]), cfg.sample_rate,
+                                          p.sr_t)) * p.scale
+                psnr, r_a, e_a = M.align_and_psnr_raw(
+                    p.t_raw, est, peak_global, ecfg.max_align_shift)
+                ps_vals.append(psnr)
+                r24 = np.asarray(resample(np.asarray(r_a), p.sr_t,
+                                          ecfg.eval_sr))
+                e24 = np.asarray(resample(np.asarray(e_a), p.sr_t,
+                                          ecfg.eval_sr))
+                st_vals.append(M.stsim_batch(r24[None], e24[None])[0])
 
         st_m, st_ci = M.mean_ci95(st_vals)
         ps_m, ps_ci = M.mean_ci95(ps_vals)

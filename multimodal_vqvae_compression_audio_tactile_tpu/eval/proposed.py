@@ -36,6 +36,8 @@ def evaluate_proposed_model(
     ecfg: EvalConfig = EvalConfig(),
     protocol: str = "raw",
     latency: Optional[dict] = None,
+    prepared: Optional[list] = None,
+    forward_batch: int = 16,
 ) -> dict:
     """Per-file PSNR protocol over one trained codec; returns metric row.
 
@@ -44,9 +46,16 @@ def evaluate_proposed_model(
     24 kHz, downsample to 3 kHz, peak=1.0
     (Evaluation/compare_dacvsproposal_5_eval.py:212-223). The two differ by
     ~10 dB on the same models — rows carry a ``psnr_protocol`` label.
+
+    ``prepared``: pre-loaded pairs (eval/prepared.py) shared across runs; model
+    forwards then run batched (one dispatch per ``forward_batch`` files), which
+    is what makes n>=500 x 18 runs tractable here (VERDICT missing #4).
     """
     books_use = books_use or cfg.rvq.n_books
     sr24 = cfg.dac.sample_rate
+    if prepared is None:
+        from .prepared import prepare_pairs
+        prepared = prepare_pairs(pairs, sr24)
 
     # latency is timed on the serving-precision path (native bf16 matmuls),
     # mirroring the reference's AMP-autocast timing
@@ -66,44 +75,47 @@ def evaluate_proposed_model(
             sr_native=sr24, warmup=ecfg.latency_warmup,
             repeats=ecfg.latency_repeats)
 
+    from .prepared import equal_length_batches
+
     st_vals, ps_vals = [], []
     total_bytes, total_sec = 0, 0.0
-    for a_path, t_path, _ in pairs:
-        a_raw, sr_a = load_wav_mono(a_path)
-        t_raw, sr_t = load_wav_mono(t_path)
-        scale = max(float(np.abs(t_raw).max()), 1e-8)
-        a24 = np.asarray(resample(np.asarray(a_raw / scale), sr_a, sr24))
-        t24 = np.asarray(resample(np.asarray(t_raw / scale), sr_t, sr24))
-        # the predictor consumes equal-length latent streams: crop to common length
-        L = min(a24.shape[-1], t24.shape[-1])
-        z_run, codes = allpred_ar.encode_latents(
-            params, cfg, jnp.asarray(a24[None, :, :L]),
-            jnp.asarray(t24[None, :, :L]), n_books_use=books_use)
-        y24 = np.asarray(dac.decode(params.tactile_dac, cfg.dac, z_run))[0]
-        est = np.asarray(resample(np.asarray(y24 * scale), sr24, sr_t))
-        # real transmitter accounting: entropy-coded bytes for this file's codes
-        total_bytes += len(bitstream.pack_codes(np.asarray(codes)[0],
-                                                cfg.rvq.n_embed))
-        total_sec += L / float(sr24)
+    for idxs, A, T in equal_length_batches(prepared, forward_batch):
+        z_run, codes_b = allpred_ar.encode_latents(
+            params, cfg, jnp.asarray(A), jnp.asarray(T),
+            n_books_use=books_use)
+        Y = np.asarray(dac.decode(params.tactile_dac, cfg.dac, z_run))
+        codes_b = np.asarray(codes_b)
+        L = A.shape[-1]
+        for j, i in enumerate(idxs):
+            p = prepared[i]
+            y24 = Y[j]
+            est = np.asarray(resample(np.asarray(y24 * p.scale), sr24, p.sr_t))
+            # real transmitter accounting: entropy-coded bytes per file
+            total_bytes += len(bitstream.pack_codes(codes_b[j],
+                                                    cfg.rvq.n_embed))
+            total_sec += L / float(sr24)
 
-        if protocol == "3k":
-            # reference [3K]: metrics on the 24 kHz signals, unit-scale domain
-            t24_ref = np.asarray(resample(np.asarray(t_raw / scale), sr_t,
+            if protocol == "3k":
+                # reference [3K]: metrics on 24 kHz signals, unit-scale domain
+                t24_ref = p.t24[0] if ecfg.eval_sr == sr24 else np.asarray(
+                    resample(np.asarray(p.t_raw / p.scale), p.sr_t,
+                             ecfg.eval_sr))[0]
+                Lm = min(t24_ref.shape[-1], y24.shape[-1])
+                ps_vals.append(M.psnr_3k_aligned_batch(
+                    t24_ref[None, None, :Lm], y24[None, :, :Lm],
+                    eval_sr=ecfg.eval_sr, orig_sr=ecfg.orig_tactile_sr,
+                    max_shift=ecfg.max_align_shift)[0])
+                st_vals.append(M.stsim_batch(t24_ref[None, None, :Lm],
+                                             y24[None, :, :Lm])[0])
+            else:
+                psnr, r_a, e_a = M.align_and_psnr_raw(
+                    p.t_raw, est, peak_global, ecfg.max_align_shift)
+                ps_vals.append(psnr)
+                r24 = np.asarray(resample(np.asarray(r_a), p.sr_t,
                                           ecfg.eval_sr))
-            Lm = min(t24_ref.shape[-1], y24.shape[-1])
-            ps_vals.append(M.psnr_3k_aligned_batch(
-                t24_ref[None, :, :Lm], y24[None, :, :Lm],
-                eval_sr=ecfg.eval_sr, orig_sr=ecfg.orig_tactile_sr,
-                max_shift=ecfg.max_align_shift)[0])
-            st_vals.append(M.stsim_batch(t24_ref[None, :, :Lm],
-                                         y24[None, :, :Lm])[0])
-        else:
-            psnr, r_a, e_a = M.align_and_psnr_raw(t_raw, est, peak_global,
-                                                  ecfg.max_align_shift)
-            ps_vals.append(psnr)
-            r24 = np.asarray(resample(np.asarray(r_a), sr_t, ecfg.eval_sr))
-            e24 = np.asarray(resample(np.asarray(e_a), sr_t, ecfg.eval_sr))
-            st_vals.append(M.stsim_batch(r24[None], e24[None])[0])
+                e24 = np.asarray(resample(np.asarray(e_a), p.sr_t,
+                                          ecfg.eval_sr))
+                st_vals.append(M.stsim_batch(r24[None], e24[None])[0])
 
     st_m, st_ci = M.mean_ci95(st_vals)
     ps_m, ps_ci = M.mean_ci95(ps_vals)
@@ -151,7 +163,11 @@ def eval_proposed_runs(
         raise RuntimeError(f"No runs found under {sweep_root} (expected rvqB*_K*/)")
 
     import jax
+
+    from .prepared import prepare_pairs
     backbones = jax.device_put(backbones)  # once: numpy jit args re-upload per call
+    log(f"[prepare] loading/resampling {len(pairs)} pairs once for all runs")
+    prepared = prepare_pairs(pairs, base_cfg.dac.sample_rate, log=log)
     results = []
     for run in runs:
         parsed = artifacts.parse_run_dir(run)
@@ -170,6 +186,7 @@ def eval_proposed_runs(
         lat = (latency_map or {}).get(f"rvqB{books}_K{embed}")
         row = evaluate_proposed_model(params, cfg, pairs, peak_global,
                                       books_use=books, ecfg=ecfg,
-                                      protocol=protocol, latency=lat)
+                                      protocol=protocol, latency=lat,
+                                      prepared=prepared)
         results.append({"run": os.path.basename(run), "path": run, **row})
     return results
