@@ -151,6 +151,7 @@ def eval_proposed_runs(
     checkpoint_name: str = "best.msgpack",
     protocol: str = "raw",
     latency_map: Optional[dict] = None,
+    prepared: Optional[list] = None,
     log: Callable = print,
 ) -> list[dict]:
     """Discover ``rvqB*_K*`` runs under sweep_root and evaluate each
@@ -166,8 +167,9 @@ def eval_proposed_runs(
 
     from .prepared import prepare_pairs
     backbones = jax.device_put(backbones)  # once: numpy jit args re-upload per call
-    log(f"[prepare] loading/resampling {len(pairs)} pairs once for all runs")
-    prepared = prepare_pairs(pairs, base_cfg.dac.sample_rate, log=log)
+    if prepared is None:
+        log(f"[prepare] loading/resampling {len(pairs)} pairs once for all runs")
+        prepared = prepare_pairs(pairs, base_cfg.dac.sample_rate, log=log)
     results = []
     for run in runs:
         parsed = artifacts.parse_run_dir(run)

@@ -58,6 +58,13 @@ def eval_plc_categories(
             "mean_stsim_global": float(
                 np.nanmean([r["stsim_global"] for r in rows])),
             "mean_mae_masked": float(np.nanmean([r["mae_masked"] for r in rows])),
+            "mean_psnr_masked_db": float(
+                np.nanmean([r["psnr_masked_db"] for r in rows])),
+            "mean_psnr_masked_zero_db": float(
+                np.nanmean([r["psnr_masked_zero_db"] for r in rows])),
+            "plc_gain_masked_db": float(
+                np.nanmean([r["psnr_masked_db"] - r["psnr_masked_zero_db"]
+                            for r in rows])),
             "num_files": len(rows),
         }
         log(f"[plc-cat {cat}] PSNR {summary[cat]['mean_psnr_global_db']:.2f} dB "

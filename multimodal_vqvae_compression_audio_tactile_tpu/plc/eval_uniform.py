@@ -34,6 +34,9 @@ CSV_FIELDS = [
     "snr_masked_db", "snr_unmasked_db",
     "mae_masked", "mae_unmasked",
     "stsim_masked", "stsim_unmasked",
+    # beyond-reference: the zero-fill (no-concealment) floor on the same mask,
+    # so the PLC benefit is a measured gain, not an absolute number
+    "psnr_masked_zero_db", "stsim_global_zero",
 ]
 
 
@@ -67,6 +70,10 @@ def eval_plc_file(
         params, cfg, jnp.asarray(a24[None]), jnp.asarray(t24n[None]),
         jnp.asarray(latent_mask[None]))
     y_norm = np.asarray(out.y_hat)[0, 0]
+    out0 = plc_model.forward_zero_fill(
+        params, cfg, jnp.asarray(a24[None]), jnp.asarray(t24n[None]),
+        jnp.asarray(latent_mask[None]))
+    y0_norm = np.asarray(out0.y_hat)[0, 0]
 
     ref24 = np.asarray(resample(np.asarray(t_raw), sr_t, sr24))[0]
     est24 = y_norm * scale
@@ -78,12 +85,24 @@ def eval_plc_file(
     stsim_g, stsim_m, stsim_u = M.stsim_mel_with_mask(
         r_a[0], e_a[0], latent_mask, sr=ecfg.eval_sr)
 
+    # zero-fill baseline on the identical mask (aligned the same way)
+    est0 = y0_norm * scale
+    r0_c, e0_c = crop_match(ref24.reshape(1, -1), est0.reshape(1, -1))
+    r0_a, e0_a, _ = align_by_xcorr(r0_c, e0_c, ecfg.max_align_shift)
+    r0_a, e0_a = crop_match(r0_a, e0_a)
+    sm0 = M.token_mask_to_sample_mask(latent_mask, r0_a.shape[-1])
+    psnr_masked_zero = M.psnr_subset_db(r0_a[0], e0_a[0], sm0, peak_global)
+    stsim_g0, _, _ = M.stsim_mel_with_mask(r0_a[0], e0_a[0], latent_mask,
+                                           sr=ecfg.eval_sr)
+
     ref_vec, est_vec = r_a[0], e_a[0]
     sm = M.token_mask_to_sample_mask(latent_mask, ref_vec.shape[0])
     extras = ({"_ref": ref_vec, "_est": est_vec, "_mask": latent_mask}
               if return_signals else {})
     return {
         **extras,
+        "psnr_masked_zero_db": psnr_masked_zero,
+        "stsim_global_zero": stsim_g0,
         "stem": os.path.splitext(os.path.basename(t_path))[0],
         "len_samples": int(ref_vec.shape[0]),
         "psnr_global_db": psnr_global,
@@ -146,6 +165,14 @@ def eval_plc_uniform(
         "mean_stsim_masked": float(np.nanmean([r["stsim_masked"] for r in rows])),
         "mean_stsim_unmasked": float(
             np.nanmean([r["stsim_unmasked"] for r in rows])),
+        # zero-fill floor + the measured concealment gain over it
+        "mean_psnr_masked_zero_db": float(
+            np.nanmean([r["psnr_masked_zero_db"] for r in rows])),
+        "mean_stsim_global_zero": float(
+            np.nanmean([r["stsim_global_zero"] for r in rows])),
+        "plc_gain_masked_db": float(
+            np.nanmean([r["psnr_masked_db"] - r["psnr_masked_zero_db"]
+                        for r in rows])),
         "num_files": len(rows),
         "peak_global": peak_global,
     }

@@ -36,6 +36,15 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--books-grid", default="2,6,10")
     ap.add_argument("--embed-grid", default="128")
+    ap.add_argument("--steps-per-epoch", type=int, default=0,
+                    help="cap codec/PLC train steps per epoch (0 = full pass);"
+                         " large corpora train fine on a capped subsample per"
+                         " epoch while eval still uses every pair")
+    ap.add_argument("--val-batches", type=int, default=0,
+                    help="cap validation batches per epoch (0 = all)")
+    ap.add_argument("--eval-all-pairs", action="store_true",
+                    help="evaluate on the FULL corpus (train+val) like the"
+                         " reference's n=1003 protocol, instead of val only")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
@@ -140,6 +149,19 @@ def main() -> None:
     backbones = {"audio": bb_params, "tactile": bb_params}
 
     # ---- 3. codec sweep ---------------------------------------------------
+    from itertools import islice
+
+    def capped(it, n):
+        return islice(it, n) if n else it
+
+    def train_it(ep):
+        return capped(batch_iterator(ds_tr, args.batch, seed=args.seed,
+                                     epoch=ep), args.steps_per_epoch)
+
+    def val_it():
+        return capped(batch_iterator(ds_va, args.batch, shuffle=False,
+                                     drop_last=False), args.val_batches)
+
     sweep_root = os.path.join(root, "sweep")
     tcfg_cd = TrainConfig(epochs=args.codec_epochs, batch=args.batch,
                           seed=args.seed,
@@ -151,10 +173,8 @@ def main() -> None:
     if not args.only_plc_category:
         run_sweep(
             cfg, tcfg_cd, sweep, backbones,
-            train_batches=lambda ep: batch_iterator(ds_tr, args.batch,
-                                                    seed=args.seed, epoch=ep),
-            val_batches=lambda: batch_iterator(ds_va, args.batch,
-                                               shuffle=False, drop_last=False),
+            train_batches=train_it,
+            val_batches=val_it,
             out_root=sweep_root, save_every=5)
         print(f"[demo] sweep trained in {time.time()-t0:.0f}s", flush=True)
 
@@ -165,10 +185,8 @@ def main() -> None:
     if not args.only_plc_category:
         t0 = time.time()
         train_plc(cfg, tcfg_plc, PLCConfig(), backbones,
-                  train_batches=lambda ep: batch_iterator(
-                      ds_tr, args.batch, seed=args.seed, epoch=ep),
-                  val_batches=lambda: batch_iterator(
-                      ds_va, args.batch, shuffle=False, drop_last=False),
+                  train_batches=train_it,
+                  val_batches=val_it,
                   out_dir=plc_dir, mode="uniform", seed=args.seed,
                   save_every=5)
         print(f"[demo] PLC trained in {time.time()-t0:.0f}s", flush=True)
@@ -177,10 +195,8 @@ def main() -> None:
     if args.plc_category:
         t0 = time.time()
         train_plc(cfg, tcfg_plc, PLCConfig(), backbones,
-                  train_batches=lambda ep: batch_iterator(
-                      ds_tr, args.batch, seed=args.seed, epoch=ep),
-                  val_batches=lambda: batch_iterator(
-                      ds_va, args.batch, shuffle=False, drop_last=False),
+                  train_batches=train_it,
+                  val_batches=val_it,
                   out_dir=plc_cat_dir, mode="category", seed=args.seed,
                   save_every=5)
         print(f"[demo] category PLC trained in {time.time()-t0:.0f}s",
@@ -191,13 +207,17 @@ def main() -> None:
         os.path.abspath(__file__))), "native", "vcpwq", "vcpwq_codec")
     vc_dec = os.path.join(root, "vc_decoded")
     vc_comp = os.path.join(root, "vc_compressed")
+    vc_b_list = EvalConfig().vc_b_list  # full reference budget set
     if os.path.exists(codec_bin) and not args.only_plc_category:
-        for b in (8, 24, 48):
+        for b in vc_b_list:
             subprocess.run([codec_bin, "batch", tact_dir, vc_dec, vc_comp,
                             str(b)], check=True)
 
     # ---- 5b. full codec benchmark ----------------------------------------
-    eval_pairs = va  # held-out
+    # reference protocol evaluates the FULL corpus (its eval scripts glob the
+    # whole directory, n=1003 with train overlap); --eval-all-pairs mirrors
+    # that; default keeps the held-out split
+    eval_pairs = pairs if args.eval_all_pairs else va
     out_dir = os.path.join(sweep_root, "eval_vs_backbone")
     os.makedirs(out_dir, exist_ok=True)
     peak_global = M.compute_global_peak([t for _, t, _ in eval_pairs])
@@ -214,15 +234,22 @@ def main() -> None:
                                             tiny=args.tiny)
         print(f"[demo] latencies in {time.time()-t0:.0f}s", flush=True)
         t0 = time.time()
+        from multimodal_vqvae_compression_audio_tactile_tpu.eval.prepared \
+            import prepare_pairs
+        print(f"[demo] preparing {len(eval_pairs)} eval pairs (shared cache)",
+              flush=True)
+        prepared = prepare_pairs(eval_pairs, cfg.dac.sample_rate)
         dac24 = eval_backbone_codec(backbones["tactile"], cfg.dac, eval_pairs,
                                     peak_global, ecfg, n_q_list=(1, 2, 4, 8),
-                                    latency_map=lat.get("backbone"))
+                                    latency_map=lat.get("backbone"),
+                                    prepared=prepared)
         proposed_rows = eval_proposed_runs(sweep_root, cfg, backbones,
                                            eval_pairs, peak_global, ecfg,
-                                           latency_map=lat.get("runs"))
+                                           latency_map=lat.get("runs"),
+                                           prepared=prepared)
         if os.path.isdir(vc_dec):
             vc_rows = eval_vc_pwq(vc_dec, vc_comp, tact_dir, peak_global,
-                                  ecfg, b_list=(8, 24, 48))
+                                  ecfg, b_list=vc_b_list)
         combined = {
             "dac_24khz": dac24,
             "proposed_runs": proposed_rows,

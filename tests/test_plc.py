@@ -118,6 +118,21 @@ class TestPLCModel:
         y_none = plc_model.forward_step(params, CFG, a, tc, m_none).y_hat
         assert not np.allclose(np.asarray(y_all), np.asarray(y_none))
 
+    def test_zero_fill_baseline(self, setup):
+        """The no-concealment baseline decodes the zeroed receiver view: equal
+        to forward_step under an all-False mask, different under loss."""
+        params, a, tc = setup
+        m0 = jnp.zeros((2, 10), bool)
+        y_base0 = plc_model.forward_zero_fill(params, CFG, a, tc, m0).y_hat
+        y_plc0 = plc_model.forward_step(params, CFG, a, tc, m0).y_hat
+        np.testing.assert_allclose(np.asarray(y_base0), np.asarray(y_plc0),
+                                   rtol=1e-4, atol=1e-5)
+        m = jnp.asarray(masks.make_token_loss_mask(
+            np.random.default_rng(5), 2, 10, 2, 0.5))
+        y_base = plc_model.forward_zero_fill(params, CFG, a, tc, m).y_hat
+        y_plc = plc_model.forward_step(params, CFG, a, tc, m).y_hat
+        assert not np.allclose(np.asarray(y_base), np.asarray(y_plc))
+
     def test_conceal_matches_forward(self, setup):
         """Streaming conceal on the receiver's zeroed latents must equal the
         train-time forward's decode path."""
