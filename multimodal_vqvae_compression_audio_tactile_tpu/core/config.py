@@ -44,6 +44,10 @@ class DacConfig:
     # instead of per op. Inference-only (no VJP) — training keeps the XLA
     # path; enabled by CodecConfig.fast_serving().
     fused_resunits: bool = False
+    # ALSO fuse below the batch-8 crossover using the b1-tuned kernel
+    # variant (64-lane halo, up to 8k tiles). Off by default: enable after
+    # scripts/bench_fused_resunits.py shows a win on the target chip.
+    fused_resunits_b1: bool = False
 
     @property
     def hop(self) -> int:

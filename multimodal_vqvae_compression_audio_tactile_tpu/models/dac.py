@@ -157,13 +157,17 @@ def _unit_stack(block_units: list, y: jax.Array, cfg: DacConfig,
     """Residual-unit stack: fused Pallas kernel on the serving fast path
     (cfg.fused_resunits, inference-only), sequential XLA ops otherwise.
     ``post_alpha`` folds a trailing block-level snake into the fused call."""
-    if cfg.fused_resunits and y.shape[0] >= _FUSED_MIN_BATCH:
-        from ..ops import resunit_pallas
-        if resunit_pallas.fuse_plan(
-                y.shape[1], len(block_units), jnp.dtype(y.dtype).itemsize):
-            return resunit_pallas.resunit_stack(
-                block_units, y, _DILATIONS[:len(block_units)],
-                post_snake_alpha=post_alpha)
+    if cfg.fused_resunits:
+        big = y.shape[0] >= _FUSED_MIN_BATCH
+        b1 = (not big) and getattr(cfg, "fused_resunits_b1", False)
+        if big or b1:
+            from ..ops import resunit_pallas
+            if resunit_pallas.fuse_plan(
+                    y.shape[1], len(block_units),
+                    jnp.dtype(y.dtype).itemsize):
+                return resunit_pallas.resunit_stack(
+                    block_units, y, _DILATIONS[:len(block_units)],
+                    post_snake_alpha=post_alpha, b1_mode=b1)
     for unit, dil in zip(block_units, _DILATIONS):
         y = _resunit_apply(unit, y, dil, precision=prec)
     if post_alpha is not None:

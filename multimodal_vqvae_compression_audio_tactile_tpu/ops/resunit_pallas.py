@@ -53,7 +53,7 @@ def _resunit_stack_kernel(
     x_any, w7_ref, w1_ref, b7_ref, b1_ref, alpha_ref, post_alpha_ref,
     out_ref, win_ref, sem,
     *, dilations: Tuple[int, ...], t_tile: int, t_true: int,
-    post_snake: bool, interpret: bool,
+    post_snake: bool, interpret: bool, pad: int = _PAD,
 ):
     """One program: window [C, L0] -> out tile [C, t_tile].
 
@@ -63,7 +63,7 @@ def _resunit_stack_kernel(
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
-    L0 = t_tile + 2 * _PAD
+    L0 = t_tile + 2 * pad
 
     dma = pltpu.make_async_copy(
         x_any.at[b, :, pl.ds(i * t_tile, L0)], win_ref, sem)
@@ -72,7 +72,7 @@ def _resunit_stack_kernel(
 
     # global signal position of each lane: g = i*t_tile + col - PAD
     col = jax.lax.broadcasted_iota(jnp.int32, (win_ref.shape[0], L0), 1)
-    g = col + (i * t_tile - _PAD)
+    g = col + (i * t_tile - pad)
     valid = (g >= 0) & (g < t_true)
 
     cdt = win_ref.dtype
@@ -112,42 +112,54 @@ def _resunit_stack_kernel(
     if post_snake:  # trailing block-level snake (snake(0) = 0, mask-safe)
         x_acc = _snake_f32(post_alpha_ref[:], x_acc)
 
-    out_ref[0, :, :] = x_acc[:, _PAD: _PAD + t_tile].astype(out_ref.dtype)
+    out_ref[0, :, :] = x_acc[:, pad: pad + t_tile].astype(out_ref.dtype)
 
 
-def _buffers_bytes(c: int, t_tile: int, cdt_size: int) -> int:
-    l0 = t_tile + 2 * _PAD
+def _buffers_bytes(c: int, t_tile: int, cdt_size: int,
+                   pad: int = _PAD) -> int:
+    l0 = t_tile + 2 * pad
     # win + h/h2/rolled (cdt) + x_acc/acc/y (fp32) + double-buffered out tile
     return c * l0 * (3 * cdt_size + 12) + 2 * c * t_tile * cdt_size
 
 
-def fuse_plan(c: int, n_units: int, cdt_size: int
+def fuse_plan(c: int, n_units: int, cdt_size: int,
+              pad: int = _PAD, t_tile_max: int = 2048,
               ) -> Optional[Tuple[int, int]]:
     """Pick (units_per_call, t_tile) under the VMEM budget, or None if even a
-    single unit cannot fit (fall back to the XLA path)."""
+    single unit cannot fit (fall back to the XLA path).
+
+    ``pad``/``t_tile_max``: the batch-1 latency variant shrinks the halo to one
+    64-lane group (the receptive field needs only 39) and allows larger tiles —
+    fewer programs and proportionally less halo recompute when the grid has no
+    batch axis to pipeline over."""
+    tiles = [t for t in (8192, 4096, 2048, 1024, 512, 256, 128)
+             if t <= t_tile_max]
     for units in (n_units, 1):
         w_bytes = units * 8 * c * c * cdt_size
-        for t_tile in (2048, 1024, 512, 256, 128):
-            if w_bytes + _buffers_bytes(c, t_tile, cdt_size) <= _VMEM_BUDGET:
+        for t_tile in tiles:
+            if w_bytes + _buffers_bytes(c, t_tile, cdt_size, pad) \
+                    <= _VMEM_BUDGET:
                 return units, t_tile
     return None
 
 
 @partial(jax.jit, static_argnames=("dilations", "post_snake", "t_tile",
-                                   "interpret"))
+                                   "interpret", "pad"))
 def _resunit_stack_call(
     x: jax.Array, w7: jax.Array, w1: jax.Array, b7: jax.Array, b1: jax.Array,
     alpha: jax.Array, post_alpha: jax.Array,
     dilations: Tuple[int, ...], post_snake: bool, t_tile: int, interpret: bool,
+    pad: int = _PAD,
 ) -> jax.Array:
     B, C, T = x.shape
     nT = pl.cdiv(T, t_tile)
-    x_pad = jnp.zeros((B, C, _PAD + nT * t_tile + _PAD), x.dtype)
-    x_pad = jax.lax.dynamic_update_slice(x_pad, x, (0, 0, _PAD))
+    x_pad = jnp.zeros((B, C, pad + nT * t_tile + pad), x.dtype)
+    x_pad = jax.lax.dynamic_update_slice(x_pad, x, (0, 0, pad))
 
     out = pl.pallas_call(
         partial(_resunit_stack_kernel, dilations=dilations, t_tile=t_tile,
-                t_true=T, post_snake=post_snake, interpret=interpret),
+                t_true=T, post_snake=post_snake, interpret=interpret,
+                pad=pad),
         grid=(B, nT),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -168,7 +180,7 @@ def _resunit_stack_call(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, C, nT * t_tile), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((C, t_tile + 2 * _PAD), x.dtype),
+            pltpu.VMEM((C, t_tile + 2 * pad), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -180,6 +192,7 @@ def resunit_stack(
     units: Sequence[dict], x: jax.Array, dilations: Sequence[int],
     post_snake_alpha: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
+    b1_mode: bool = False,
 ) -> jax.Array:
     """Fused stack of residual units over x [B, C, T].
 
@@ -193,7 +206,13 @@ def resunit_stack(
         interpret = jax.default_backend() != "tpu"
     C, T = x.shape[1], x.shape[2]
     cdt = x.dtype
-    plan = fuse_plan(C, len(units), jnp.dtype(cdt).itemsize)
+    # b1_mode: single-stream latency tuning — 64-lane halo (receptive field
+    # needs 39) and up to 8k tiles, so a batch-1 grid has few programs and
+    # minimal halo recompute
+    pad = 64 if b1_mode else _PAD
+    t_tile_max = 8192 if b1_mode else 2048
+    plan = fuse_plan(C, len(units), jnp.dtype(cdt).itemsize, pad=pad,
+                     t_tile_max=t_tile_max)
     assert plan is not None, "caller must fall back to XLA when plan is None"
     per_call, t_tile = plan
     # short sequences (e.g. the strided blocks at T=600): don't compute a
@@ -209,9 +228,9 @@ def resunit_stack(
         # d => 3*sum(d)) must fit or the kernel would silently read wrapped /
         # stale halo lanes (current callers max out at 3*(1+3+9)=39)
         halo = 3 * sum(dils)
-        assert halo <= _PAD, (
+        assert halo <= pad, (
             f"fused resunit group receptive field {halo} exceeds halo "
-            f"{_PAD}; split the group or reduce dilations {dils}")
+            f"{pad}; split the group or reduce dilations {dils}")
         last = i + len(group) == len(units)
         w7 = jnp.stack([jnp.transpose(u["conv1"]["w"], (2, 0, 1))
                         for u in group]).astype(cdt)        # [U, 7, C, C]
@@ -229,6 +248,6 @@ def resunit_stack(
         post_a = (post_snake_alpha[:, None].astype(jnp.float32) if post
                   else jnp.ones((C, 1), jnp.float32))
         x = _resunit_stack_call(x, w7, w1, b7, b1, alpha, post_a,
-                                dils, post, t_tile, interpret)
+                                dils, post, t_tile, interpret, pad=pad)
         i += len(group)
     return x

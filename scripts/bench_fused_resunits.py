@@ -39,17 +39,22 @@ def main() -> None:
     base = CodecConfig(rvq=RVQConfig(n_books=10, n_embed=128)).fast_serving()
     off = dataclasses.replace(
         base, dac=dataclasses.replace(base.dac, fused_resunits=False))
+    b1tuned = dataclasses.replace(
+        base, dac=dataclasses.replace(base.dac, fused_resunits_b1=True))
     params = allpred_ar.codec_init(jax.random.key(7), base)
 
-    # drop the production batch gate so the b1 "fused" leg actually runs the
-    # kernel (models/dac.py routes batch < _FUSED_MIN_BATCH to XLA)
     from multimodal_vqvae_compression_audio_tactile_tpu.models import dac
-    dac._FUSED_MIN_BATCH = 1
 
     report = {"backend": jax.default_backend()}
     for batch in (1, 32):
         report[f"b{batch}_xla"] = bench(off, params, batch)
         report[f"b{batch}_fused"] = bench(base, params, batch)
+    # batch-1 legs: the production-gated default (XLA below batch 8), the
+    # plain kernel forced on (old crossover measurement), and the b1-tuned
+    # variant (64-lane halo, 8k tiles)
+    report["b1_fused_b1tuned"] = bench(b1tuned, params, 1)
+    dac._FUSED_MIN_BATCH = 1
+    report["b1_fused_forced_plain"] = bench(base, params, 1)
     print(json.dumps(report, indent=2))
 
 

@@ -21,6 +21,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--seg-sec", type=float, default=1.0)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--clip", type=float, default=3.0)
+    ap.add_argument("--warmup-steps", type=int, default=0,
+                    help="0 = auto (total/20 capped at 500)")
     ap.add_argument("--synth", type=int, default=0)
     ap.add_argument("--stream", type=int, default=0, metavar="STEPS_PER_EPOCH",
                     help="infinite fresh synthetic data (no file corpus): "
@@ -55,7 +59,7 @@ def main() -> None:
     if args.tiny:
         cfg = cfg.tiny()
     tcfg = TrainConfig(epochs=args.epochs, batch=args.batch, seed=args.seed,
-                       seg_sec=args.seg_sec)
+                       seg_sec=args.seg_sec, lr=args.lr, grad_clip=args.clip)
 
     if args.stream:
         from itertools import islice
@@ -103,6 +107,7 @@ def main() -> None:
         steps_per_epoch=steps_per_epoch,
         save_every=args.save_every,
         nq_dropout=not args.no_nq_dropout,
+        warmup_steps=args.warmup_steps or None,
         gan=GanConfig(start_epoch=args.gan_start_epoch) if args.gan else None)
 
 

@@ -49,6 +49,19 @@ def test_fused_matches_xla(c, t, n_units):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("c,t", [(8, 600), (64, 300), (8, 96)])
+def test_b1_mode_matches_xla(c, t):
+    """The batch-1 latency variant (64-lane halo, 8k tile cap) must stay
+    bit-equivalent in structure to the XLA chain."""
+    units = _make_units(jax.random.key(4), c, 3)
+    x = jax.random.normal(jax.random.key(5), (1, c, t), jnp.float32)
+    ref = _xla_stack(units, x, dac._DILATIONS)
+    got = resunit_pallas.resunit_stack(units, x, dac._DILATIONS,
+                                       interpret=True, b1_mode=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fused_with_trailing_snake():
     c, t = 8, 400
     units = _make_units(jax.random.key(2), c, 3)
