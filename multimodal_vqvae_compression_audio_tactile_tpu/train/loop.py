@@ -99,10 +99,23 @@ def make_train_step(cfg: CodecConfig, tcfg: TrainConfig,
     decay = ema_decay if ema_decay is not None else cfg.rvq.ema_decay
 
     def loss_fn(head, backbones, a, tc, rng):
-        params = allpred_ar.CodecParams(
-            audio_dac=backbones["audio"], tactile_dac=backbones["tactile"],
-            head=head)
-        out = allpred_ar.forward_step(params, cfg, a, tc, dropout_rng=rng)
+        if isinstance(a, tuple):
+            # cached-latent path (train/latent_cache.py): a = (qa, zt) frozen
+            # backbone latents; only the AR roll + frozen decode run per step
+            from ..models import dac as dac_mod
+            qa, zt = a
+            roll = allpred_ar.ar_roll(head, cfg, qa, zt, dropout_rng=rng)
+            y_hat = dac_mod.decode(backbones["tactile"], cfg.dac, roll.z_run)
+            T = min(y_hat.shape[-1], tc.shape[-1])
+            fin = lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
+            out = {"y_hat": fin(y_hat[..., :T]), "tgt": fin(tc[..., :T]),
+                   "r_tokens": roll.r_tokens, "valid": roll.valid,
+                   "codes": roll.codes}
+        else:
+            params = allpred_ar.CodecParams(
+                audio_dac=backbones["audio"],
+                tactile_dac=backbones["tactile"], head=head)
+            out = allpred_ar.forward_step(params, cfg, a, tc, dropout_rng=rng)
         total, parts = codec_loss(out["y_hat"], out["tgt"],
                                   w_wav_l1=tcfg.loss.w_wav_l1,
                                   w_stft=tcfg.loss.w_stft,
@@ -233,13 +246,18 @@ def train_codec(
             t0 = time.time()
             step_metrics = []  # metric vectors on device; ONE fetch per epoch
             do_ema = ep > cfg.rvq.ema_warm_epochs
-            for a, tc in train_batches(ep):
-                a, tc = put((a, tc))
+
+            def unpack(b):
+                # 2-tuple: (a, tc) waveforms; 3-tuple: cached (qa, zt, tc)
+                return ((b[0], b[1]), b[2]) if len(b) == 3 else b
+
+            for b in train_batches(ep):
+                a, tc = put(unpack(b))
                 state, metrics = train_step(state, backbones, a, tc, base_rng,
                                             do_ema=do_ema)
                 step_metrics.append(metrics)
-            val_metrics = [eval_step(state.head, backbones, *put((a, tc)))
-                           for a, tc in val_batches()]
+            val_metrics = [eval_step(state.head, backbones, *put(unpack(b)))
+                           for b in val_batches()]
             # exactly ONE device->host fetch for the whole epoch: train and val
             # means ride the same transfer (each fetch costs a tunnel roundtrip)
             nm = len(METRIC_KEYS)

@@ -27,6 +27,7 @@ def run_sweep(
     out_root: str,
     tokens_per_sec: Optional[float] = None,
     save_every: int = 1,
+    steps_per_epoch: Optional[int] = None,
     log: Callable[[str], None] = print,
 ) -> list[dict]:
     """Train every (books, embed) combo; returns summary rows (also written as CSV)."""
@@ -40,7 +41,8 @@ def run_sweep(
             kbps = cfg.kbps(tps)
             log(f"[sweep] rvqB{books}_K{embed} ~ {kbps:.3f} kbps")
             hist = train_codec(cfg, tcfg, backbones, train_batches, val_batches,
-                               run_dir, save_every=save_every, log=log)
+                               run_dir, save_every=save_every,
+                               steps_per_epoch=steps_per_epoch, log=log)
             best_val = min(hist["val"]) if hist["val"] else float("nan")
             meta = {
                 "rvq_books": books,

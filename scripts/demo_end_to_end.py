@@ -45,6 +45,11 @@ def main() -> None:
     ap.add_argument("--eval-all-pairs", action="store_true",
                     help="evaluate on the FULL corpus (train+val) like the"
                          " reference's n=1003 protocol, instead of val only")
+    ap.add_argument("--cached-heads", action="store_true",
+                    help="precompute frozen-backbone latents once "
+                         "(train/latent_cache.py) and train every sweep head "
+                         "from the device-resident cache — skips the encoder "
+                         "forwards that dominate multi-run sweep time")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
@@ -169,13 +174,51 @@ def main() -> None:
     sweep = SweepConfig(
         books_grid=tuple(int(x) for x in args.books_grid.split(",")),
         embed_grid=tuple(int(x) for x in args.embed_grid.split(",")))
+
+    sweep_train_it, sweep_val_it, sweep_steps = train_it, val_it, None
+    if args.cached_heads and not args.only_plc_category:
+        from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+            latent_cache as lc)
+        t0 = time.time()
+
+        def full_batches(bs=8):
+            buf_a, buf_t = [], []
+            for i in range(0, len(pairs), bs):
+                chunk = pairs[i: i + bs]
+                arrs = [(ds_tr._prep(ap), ds_tr._prep(tp))
+                        for ap, tp, _ in chunk]
+                L = min(min(a.shape[-1], t.shape[-1]) for a, t in arrs)
+                import numpy as _np
+                yield (_np.stack([a[..., :L] for a, _ in arrs]),
+                       _np.stack([t[..., :L] for _, t in arrs]))
+
+        cache = lc.build_latent_cache(backbones, cfg, full_batches(),
+                                      log=print)
+        print(f"[demo] latent cache built in {time.time()-t0:.0f}s "
+              f"({cache.qa.shape})", flush=True)
+        tr_stems = {s for _, _, s in tr}
+        tr_rows = [i for i, (_, _, s) in enumerate(pairs) if s in tr_stems]
+        va_rows = [i for i, (_, _, s) in enumerate(pairs)
+                   if s not in tr_stems]
+        seg_tok = int(round(1.0 * cfg.dac.tokens_per_sec))
+        sweep_steps = args.steps_per_epoch or max(
+            1, len(tr_rows) // args.batch)
+        n_val = args.val_batches or max(1, len(va_rows) // args.batch)
+        sweep_train_it = lambda ep: lc.cached_batches(   # noqa: E731
+            cache, cfg, args.batch, sweep_steps, seg_tok, args.seed, ep,
+            indices=tr_rows)
+        sweep_val_it = lambda: lc.cached_batches(        # noqa: E731
+            cache, cfg, args.batch, n_val, seg_tok, args.seed + 77, 0,
+            indices=va_rows)
+
     t0 = time.time()
     if not args.only_plc_category:
         run_sweep(
             cfg, tcfg_cd, sweep, backbones,
-            train_batches=train_it,
-            val_batches=val_it,
-            out_root=sweep_root, save_every=5)
+            train_batches=sweep_train_it,
+            val_batches=sweep_val_it,
+            out_root=sweep_root, save_every=5,
+            steps_per_epoch=sweep_steps)
         print(f"[demo] sweep trained in {time.time()-t0:.0f}s", flush=True)
 
     # ---- 4. PLC -----------------------------------------------------------

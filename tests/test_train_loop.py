@@ -104,6 +104,65 @@ class TestTrainLoop:
         assert bool(jnp.isfinite(y).all())
 
 
+class TestLatentCacheTraining:
+    def test_cache_build_and_crop_parity(self, corpus):
+        """Cached (qa, zt) crops at token offset 0 equal the direct backbone
+        latents for the same full window."""
+        from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+            latent_cache as lc)
+        _, pairs = corpus
+        ds = SegmentDataset(pairs, sr=24000, seg=3200)
+        batches = list(batch_iterator(ds, 2, shuffle=False, drop_last=False))
+        params = allpred_ar.codec_init(jax.random.key(1), CFG)
+        backbones = {"audio": params.audio_dac, "tactile": params.tactile_dac}
+        cache = lc.build_latent_cache(backbones, CFG, iter(batches))
+        assert cache.qa.shape[0] == 6
+        seg_tok = cache.qa.shape[-1]
+        qa, zt, tc = lc.gather_crops(
+            cache, jnp.asarray([0, 1]), jnp.asarray([0, 0]), seg_tok,
+            CFG.dac.hop)
+        qa_d, zt_d = allpred_ar.backbone_latents(
+            params, CFG, jnp.asarray(batches[0][0]),
+            jnp.asarray(batches[0][1]))
+        np.testing.assert_allclose(np.asarray(qa), np.asarray(qa_d),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(zt), np.asarray(zt_d),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_train_codec_on_cached_batches(self, corpus, tmp_path):
+        from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+            latent_cache as lc)
+        _, pairs = corpus
+        ds = SegmentDataset(pairs, sr=24000, seg=4800)
+        params = allpred_ar.codec_init(jax.random.key(2), CFG)
+        backbones = {"audio": params.audio_dac, "tactile": params.tactile_dac}
+        cache = lc.build_latent_cache(
+            backbones, CFG,
+            batch_iterator(ds, 2, shuffle=False, drop_last=False))
+        seg_tok = 10  # 3200 samples at hop 320
+        tcfg = TrainConfig(epochs=2, batch=2, best_after_epoch=0,
+                           seg_sec=seg_tok * CFG.dac.hop / 24000)
+        hist = train_codec(
+            CFG, tcfg, backbones,
+            train_batches=lambda ep: lc.cached_batches(
+                cache, CFG, 2, 3, seg_tok, 7, ep, indices=[0, 1, 2, 3]),
+            val_batches=lambda: lc.cached_batches(
+                cache, CFG, 2, 1, seg_tok, 99, 0, indices=[4, 5]),
+            out_dir=str(tmp_path / "cached_run"),
+            steps_per_epoch=3,
+        )
+        assert len(hist["train"]) == 2
+        assert all(np.isfinite(v) for v in hist["train"] + hist["val"])
+        # the trained head must serve the ordinary waveform eval path
+        head, _, _ = ckpt.load_checkpoint(
+            str(tmp_path / "cached_run" / "last.msgpack"), params.head)
+        p2 = allpred_ar.CodecParams(params.audio_dac, params.tactile_dac, head)
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.standard_normal((1, 1, 3200)).astype(np.float32))
+        t = jnp.asarray(rng.standard_normal((1, 1, 3200)).astype(np.float32))
+        assert bool(jnp.isfinite(allpred_ar.forward_eval(p2, CFG, a, t)).all())
+
+
 class TestCheckpoint:
     def test_roundtrip_exact(self, tmp_path):
         params = allpred_ar.head_init(jax.random.key(3), CFG)
