@@ -234,6 +234,13 @@ class TrainConfig:
     max_val: int = 300
     lr_min_frac: float = 0.1        # cosine anneal to 0.1*lr (reference :377)
     best_after_epoch: int = 6       # best.pth saved only after epoch 6 (reference :444)
+    # Adam moments. Reference head training uses torch defaults (0.9, 0.999).
+    # Backbone PRETRAINING overrides these to DAC's (0.8, 0.99): with 0.999
+    # the second moment adapts too slowly for this conv stack's gradient
+    # spikes — a spike lands on a stale small denominator and blows the run
+    # up (observed: train 0.25 -> 49 within one epoch; DAC's 0.99 holds).
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
     loss: LossConfig = field(default_factory=LossConfig)
 
     @property

@@ -237,7 +237,8 @@ def pretrain_backbone(
                                 tcfg.lr_min_frac)
     tx = optax.apply_if_finite(
         optax.chain(optax.clip_by_global_norm(tcfg.grad_clip),
-                    optax.adamw(schedule, weight_decay=tcfg.weight_decay)),
+                    optax.adamw(schedule, b1=tcfg.adam_b1, b2=tcfg.adam_b2,
+                                weight_decay=tcfg.weight_decay)),
         max_consecutive_errors=10**6)
 
     # quantizer-dropout key (None disables: every step trains full depth)

@@ -58,8 +58,11 @@ def main() -> None:
     cfg = DacConfig()
     if args.tiny:
         cfg = cfg.tiny()
+    # DAC's pretraining betas (0.8, 0.99): fast second-moment adaptation
+    # prevents the spike-on-stale-denominator blowups seen with 0.999
     tcfg = TrainConfig(epochs=args.epochs, batch=args.batch, seed=args.seed,
-                       seg_sec=args.seg_sec, lr=args.lr, grad_clip=args.clip)
+                       seg_sec=args.seg_sec, lr=args.lr, grad_clip=args.clip,
+                       adam_b1=0.8, adam_b2=0.99)
 
     if args.stream:
         from itertools import islice
