@@ -87,6 +87,31 @@ def forward_step(
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def forward_step_latents(
+    head: dict,
+    tactile_dac: dict,
+    cfg: CodecConfig,
+    qa: jax.Array,
+    zt_full: jax.Array,
+    tc: jax.Array,
+    mask_tokens: jax.Array,
+    dropout_rng: Optional[jax.Array] = None,
+) -> PLCOut:
+    """forward_step from precomputed frozen-backbone latents
+    (train/latent_cache.py): skips A_ENC/A_QUANT/T_ENC per step."""
+    m = mask_tokens[:, None, :]
+    zt_in = zt_full * (~m)
+    qa_res = _interp_latent(qa, zt_full.shape[-1])
+    z_pred = cross_predictor_apply(
+        head["predict"], zt_in, qa_res, cfg.predictor, dropout_rng=dropout_rng)
+    z_filled = jnp.where(m, z_pred, zt_in)
+    y_hat = dac.decode(tactile_dac, cfg.dac, z_filled)
+    T = min(y_hat.shape[-1], tc.shape[-1])
+    fin = lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
+    return PLCOut(fin(y_hat[..., :T]), fin(tc[..., :T]), m)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def forward_zero_fill(
     params: allpred_ar.CodecParams,
     cfg: CodecConfig,

@@ -38,9 +38,17 @@ class PLCTrainState(NamedTuple):
 def make_plc_train_step(cfg: CodecConfig, tcfg: TrainConfig,
                         tx: optax.GradientTransformation):
     def loss_fn(head, backbones, a, tc, mask, rng):
-        params = allpred_ar.CodecParams(backbones["audio"], backbones["tactile"],
-                                        head)
-        out = plc_model.forward_step(params, cfg, a, tc, mask, dropout_rng=rng)
+        if isinstance(a, tuple):
+            # cached-latent path (train/latent_cache.py): a = (qa, zt)
+            qa, zt = a
+            out = plc_model.forward_step_latents(
+                head, backbones["tactile"], cfg, qa, zt, tc, mask,
+                dropout_rng=rng)
+        else:
+            params = allpred_ar.CodecParams(backbones["audio"],
+                                            backbones["tactile"], head)
+            out = plc_model.forward_step(params, cfg, a, tc, mask,
+                                         dropout_rng=rng)
         total, parts = codec_loss(out.y_hat, out.tgt,
                                   w_wav_l1=tcfg.loss.w_wav_l1,
                                   w_stft=tcfg.loss.w_stft,
@@ -135,15 +143,24 @@ def train_plc(
         for ep in range(1, tcfg.epochs + 1):
             t0 = time.time()
             step_parts = []  # pulled to host once per epoch (tunnel-friendly)
-            for a, tc in train_batches(ep):
-                mask = _make_mask(mask_rng, a.shape[0], t_lat, pcfg, mode, tps)
+
+            def unpack(b):
+                # 2-tuple: (a, tc) waveforms; 3-tuple: cached (qa, zt, tc)
+                return ((b[0], b[1]), b[2]) if len(b) == 3 else b
+
+            for b in train_batches(ep):
+                a, tc = unpack(b)
+                bsz = tc.shape[0]
+                mask = _make_mask(mask_rng, bsz, t_lat, pcfg, mode, tps)
                 a, tc, mask = put((a, tc, mask))
                 state, total = train_step(state, backbones, a, tc, mask, base_rng)
                 step_parts.append(total)
             val_rng = np.random.default_rng(seed + 999)  # fixed masks across epochs
             val_parts = []
-            for a, tc in val_batches():
-                mask = _make_mask(val_rng, a.shape[0], t_lat, pcfg, mode, tps)
+            for b in val_batches():
+                a, tc = unpack(b)
+                bsz = tc.shape[0]
+                mask = _make_mask(val_rng, bsz, t_lat, pcfg, mode, tps)
                 a, tc, mask = put((a, tc, mask))
                 val_parts.append(eval_step(state.head, backbones, a, tc, mask))
             # ONE device->host fetch per epoch: train+val means share the transfer

@@ -225,12 +225,15 @@ def main() -> None:
     plc_dir = os.path.join(root, "plc_uniform")
     tcfg_plc = TrainConfig(epochs=args.plc_epochs, batch=args.batch,
                            seed=args.seed, best_after_epoch=0)
+    plc_train_it = sweep_train_it if args.cached_heads else train_it
+    plc_val_it = sweep_val_it if args.cached_heads else val_it
     if not args.only_plc_category:
         t0 = time.time()
         train_plc(cfg, tcfg_plc, PLCConfig(), backbones,
-                  train_batches=train_it,
-                  val_batches=val_it,
+                  train_batches=plc_train_it,
+                  val_batches=plc_val_it,
                   out_dir=plc_dir, mode="uniform", seed=args.seed,
+                  steps_per_epoch=sweep_steps,
                   save_every=5)
         print(f"[demo] PLC trained in {time.time()-t0:.0f}s", flush=True)
 
@@ -238,9 +241,10 @@ def main() -> None:
     if args.plc_category:
         t0 = time.time()
         train_plc(cfg, tcfg_plc, PLCConfig(), backbones,
-                  train_batches=train_it,
-                  val_batches=val_it,
+                  train_batches=plc_train_it,
+                  val_batches=plc_val_it,
                   out_dir=plc_cat_dir, mode="category", seed=args.seed,
+                  steps_per_epoch=sweep_steps,
                   save_every=5)
         print(f"[demo] category PLC trained in {time.time()-t0:.0f}s",
               flush=True)
