@@ -320,6 +320,72 @@ def quantize(params: dict, z: jax.Array, n_quantizers: Optional[int] = None,
     return zq, codes, jnp.sum(commits), jnp.sum(codebks)
 
 
+@partial(jax.jit, static_argnames=("dead_frac",), donate_argnums=(1,))
+def quantizer_dead_code_reinit(
+    params: dict,
+    counts: jax.Array,
+    z: jax.Array,
+    key: jax.Array,
+    decay: float = 0.99,
+    dead_frac: float = 0.1,
+) -> Tuple[jax.Array, jax.Array]:
+    """EMA usage tracking + dead-code reseeding for the backbone RVQ.
+
+    -> (new_codebooks [n, K, cd], new_counts [n, K]). Same cure as the head
+    RVQ's ema_update_with_reinit (ops/rvq.py): measured round-2, a fresh
+    backbone quantizer collapses onto 11-16 of 1024 codes per book within 3k
+    steps (cosine-assignment rich-get-richer), which caps reconstruction at
+    the spectrum-matching plateau. Codes whose EMA cluster size falls below
+    ``dead_frac`` x the uniform share are reseeded from this batch's factorized
+    residual features for that book; all-zero counts (first call) adopt the
+    batch statistics, reseeding every never-hit code — data-dependent init.
+
+    z: [B, C, T] detached encoder latents. Codebook GRADIENT learning (the
+    torch-DAC recipe, commitment+codebook losses) continues for live codes;
+    this only revives dead ones.
+    """
+    q = params["quantizer"] if "quantizer" in params else params
+    n_books, K, cd = q["codebooks"].shape
+    B, C, T = z.shape
+    x = jnp.transpose(z, (0, 2, 1)).reshape(B * T, C).astype(jnp.float32)
+    x = jax.lax.stop_gradient(x)
+    N = B * T
+    uniform = N / K
+    thresh = dead_frac * uniform
+    book_keys = jax.random.split(key, n_books)
+
+    def body(carry, book):
+        residual = carry
+        in_p, in_b, out_p, out_b, cb, cnt, bkey = book
+        e = jnp.dot(residual, in_p,
+                    precision=jax.lax.Precision.HIGHEST) + in_b
+        scores = jnp.dot(_l2n(e), _l2n(cb).T,
+                         precision=jax.lax.Precision.HIGHEST)
+        idx = jnp.argmax(scores, axis=1)
+        batch_counts = jax.ops.segment_sum(jnp.ones((N,), jnp.float32), idx,
+                                           num_segments=K)
+        first = jnp.sum(cnt) <= 0.0
+        new_cnt = jnp.where(first, batch_counts,
+                            decay * cnt + (1.0 - decay) * batch_counts)
+        dead = new_cnt < thresh
+        ks, kn = jax.random.split(bkey)
+        samp = jax.random.choice(ks, N, (K,), replace=True)
+        seeds = e[samp] + 1e-3 * jnp.std(e) * jax.random.normal(
+            kn, (K, cd), jnp.float32)
+        new_cb = jnp.where(dead[:, None], seeds, cb)
+        new_cnt = jnp.where(dead, uniform, new_cnt)
+        # residual chain advances with the PRE-reinit codes (what the
+        # quantizer actually used this step)
+        z_b = jnp.dot(cb[idx], out_p,
+                      precision=jax.lax.Precision.HIGHEST) + out_b
+        return residual - z_b, (new_cb, new_cnt)
+
+    books = (q["in_proj"], q["in_bias"], q["out_proj"], q["out_bias"],
+             q["codebooks"], counts, book_keys)
+    _, (new_books, new_counts) = jax.lax.scan(body, x, books)
+    return new_books, new_counts
+
+
 @jax.jit
 def dequantize(params: dict, codes: jax.Array) -> jax.Array:
     """codes [B, T, n_use] -> z_q [B, C, T] (decoder side of the bitstream)."""

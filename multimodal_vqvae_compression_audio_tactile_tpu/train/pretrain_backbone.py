@@ -29,6 +29,7 @@ from ..core.config import DacConfig, GanConfig, TrainConfig
 from ..losses import gan as gan_mod
 from ..losses.losses import codec_loss
 from ..models import dac
+from ..ops import rvq as rvq_ops
 from ..parallel import mesh as pmesh
 from ..utils import artifacts
 from . import checkpoint as ckpt
@@ -38,6 +39,9 @@ class PretrainState(NamedTuple):
     params: dict
     opt_state: optax.OptState
     step: jax.Array
+    # EMA cluster sizes [n_books, K] for backbone-quantizer dead-code reinit
+    # (models/dac.py::quantizer_dead_code_reinit); None disables
+    vq_counts: jax.Array | None = None
 
 
 def warmup_cosine_lr(base_lr: float, total_steps: int, warmup_steps: int,
@@ -78,14 +82,14 @@ def make_pretrain_step(cfg: DacConfig, tcfg: TrainConfig,
 
     def loss_fn(params, x, nq_per_ex):
         z = dac.encode(params, cfg, x)
-        zq, _, commit, codebk = dac.quantize(params["quantizer"], z,
-                                             nq_per_example=nq_per_ex)
+        zq, codes, commit, codebk = dac.quantize(params["quantizer"], z,
+                                                 nq_per_example=nq_per_ex)
         y = dac.decode(params, cfg, zq)
         T = min(y.shape[-1], x.shape[-1])
         total, parts = codec_loss(y[..., :T], x[..., :T], sr=cfg.sample_rate)
         total = total + w_commit * commit / n_books + w_codebook * codebk / n_books
         parts = {**parts, "commit": commit, "codebook": codebk, "total": total}
-        return total, parts
+        return total, (parts, jax.lax.stop_gradient(z), codes)
 
     @partial(jax.jit, donate_argnums=(0,))
     def pretrain_step(state: PretrainState, x, base_rng=None):
@@ -94,15 +98,26 @@ def make_pretrain_step(cfg: DacConfig, tcfg: TrainConfig,
         nq = (sample_nq_dropout(jax.random.fold_in(base_rng, state.step),
                                 x.shape[0], n_books)
               if base_rng is not None else None)
-        (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, x, nq)
+        (_, (parts, z, codes)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, x, nq)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return PretrainState(params, opt_state, state.step + 1), parts["total"]
+        counts = state.vq_counts
+        if counts is not None:
+            rk = (jax.random.fold_in(base_rng, state.step + (1 << 20))
+                  if base_rng is not None else jax.random.key(0))
+            books, counts = dac.quantizer_dead_code_reinit(
+                params, jnp.array(counts), z, rk)
+            params = {**params, "quantizer": {
+                **params["quantizer"], "codebooks": books}}
+        stats = rvq_ops.usage_stats(codes, cfg.codebook_size)
+        bits = jnp.mean(stats["bits"])
+        return (PretrainState(params, opt_state, state.step + 1, counts),
+                jnp.stack([parts["total"], bits]))
 
     @jax.jit
     def eval_step(params, x):
-        _, parts = loss_fn(params, x, None)
+        _, (parts, _, _) = loss_fn(params, x, None)
         return parts["total"]
 
     return pretrain_step, eval_step
@@ -261,7 +276,10 @@ def pretrain_backbone(
             return lambda st, x, _nq: (lambda r: (r[0], r[1][0]))(
                 fn(st, x, nq_rng))
     else:
-        state = PretrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        state = PretrainState(
+            params, tx.init(params), jnp.zeros((), jnp.int32),
+            vq_counts=jnp.zeros((cfg.n_codebooks, cfg.codebook_size),
+                                jnp.float32))
         base_step, eval_fn = make_pretrain_step(cfg, tcfg, tx)
 
         def select_step(ep: int):
@@ -292,22 +310,27 @@ def pretrain_backbone(
             for x in train_batches(ep):
                 x = put(x)
                 state, total = step_fn(state, x, None)
-                step_parts.append(total)
+                step_parts.append(jnp.atleast_1d(total))
             hist["train"].append(0.0)  # filled from the fused fetch below
 
             val_parts = []
             for x in val_batches():
                 x = put(x)
                 val_parts.append(eval_fn(state.params, x))
-            # ONE device->host fetch per epoch: train+val means share the transfer
-            packed = np.asarray(jnp.stack([
-                jnp.stack(step_parts).mean() if step_parts else jnp.zeros(()),
-                jnp.stack(val_parts).mean() if val_parts else jnp.zeros(())]))
+            # ONE device->host fetch per epoch: train+val means share the
+            # transfer. step vectors: [total] (GAN-wrapped) or [total, bits]
+            tr_vec = (jnp.stack(step_parts).mean(0) if step_parts
+                      else jnp.zeros((1,)))
+            packed = np.asarray(jnp.concatenate([
+                tr_vec,
+                (jnp.stack(val_parts).mean() if val_parts
+                 else jnp.zeros(()))[None]]))
             hist["train"][-1] = float(packed[0])
-            v = float(packed[1])
+            v = float(packed[-1])
             hist["val"].append(v)
+            bits_s = (f" | VQ {packed[1]:.2f}b" if packed.shape[0] > 2 else "")
             log(f"[pretrain] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
-                f"val {v:.4f} | {time.time()-t0:.1f}s")
+                f"val {v:.4f}{bits_s} | {time.time()-t0:.1f}s")
 
             # divergence recovery: long runs can blow up mid-schedule (observed:
             # train 0.51 -> 10 -> permanently-dead 1.19 at epoch ~150 of 400; the

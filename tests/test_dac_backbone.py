@@ -105,3 +105,30 @@ class TestEndToEnd:
         assert float(jnp.linalg.norm(g["encoder"]["in_conv"]["w"])) > 0
         assert float(jnp.linalg.norm(g["decoder"]["out_conv"]["w"])) > 0
         assert float(jnp.linalg.norm(g["quantizer"]["codebooks"])) > 0
+
+
+class TestQuantizerDeadCodeReinit:
+    def test_dead_codes_reseeded_live_codes_kept(self, rng):
+        q = dac._quantizer_init(jax.random.key(0), CFG)
+        z = jnp.asarray(rng.standard_normal(
+            (4, CFG.latent_dim, 25)).astype(np.float32))
+        counts0 = jnp.zeros((CFG.n_codebooks, CFG.codebook_size))
+        books1, counts1 = dac.quantizer_dead_code_reinit(
+            {"quantizer": q}, counts0, z, jax.random.key(1))
+        # first call adopts batch stats: every count positive
+        assert float(jnp.min(counts1)) > 0
+        # after reinit, re-assigning the same batch must hit many codes
+        _, codes, _, _ = dac.quantize({**q, "codebooks": books1}, z)
+        used = len(np.unique(np.asarray(codes)[..., 0]))
+        assert used >= CFG.codebook_size // 4, used
+
+    def test_warm_counts_no_reinit(self, rng):
+        q = dac._quantizer_init(jax.random.key(0), CFG)
+        z = jnp.asarray(rng.standard_normal(
+            (2, CFG.latent_dim, 10)).astype(np.float32))
+        warm = jnp.full((CFG.n_codebooks, CFG.codebook_size), 100.0)
+        books1, counts1 = dac.quantizer_dead_code_reinit(
+            {"quantizer": q}, warm, z, jax.random.key(2))
+        np.testing.assert_allclose(np.asarray(books1),
+                                   np.asarray(q["codebooks"]))
+        assert float(jnp.min(counts1)) >= 99.0
