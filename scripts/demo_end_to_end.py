@@ -311,6 +311,11 @@ def main() -> None:
                 "w") as f:
             json.dump(combined, f, indent=2)
         plots.rate_distortion_plots(dac24, proposed_rows, vc_rows, out_dir)
+        if proposed_rows:
+            # reference behavior: waveform + mel example plots for the best
+            # run by ST-SIM (Evaluation/dac_vcpwq_proposed6_latency.py:1058)
+            best = max(proposed_rows, key=lambda r: r["stsim_mean"])
+            plots.plot_examples(best, cfg, backbones, eval_pairs[:10], out_dir)
         print(f"[demo] codec eval in {time.time()-t0:.0f}s", flush=True)
 
     # ---- 5c. PLC eval ------------------------------------------------------
