@@ -159,6 +159,14 @@ def load_checkpoint_tolerant(path: str, template: Any) -> tuple[Any, int, dict]:
             merged = merge(d, stored)
             return type(tmpl)(**merged)
         if isinstance(tmpl, (list, tuple)):
+            # flax to_state_dict encodes lists as {"0": ..., "1": ...} dicts
+            # (msgpack_restore returns that form). Round 1 silently kept the
+            # TEMPLATE for every list subtree — i.e. random encoder/decoder
+            # conv blocks on every tolerant backbone load — capping all eval
+            # quality at the random-blocks floor. Regression-tested:
+            # tolerant == strict on a tree with list subtrees.
+            if isinstance(stored, dict):
+                stored = [stored.get(str(i)) for i in range(len(tmpl))]
             if isinstance(stored, (list, tuple)) and len(stored) == len(tmpl):
                 return type(tmpl)(merge(t, s) for t, s in zip(tmpl, stored))
             return tmpl

@@ -94,3 +94,58 @@ class TestAsyncCheckpointer:
         with pytest.raises(BaseException):
             acp.wait()
         acp._q.put(None)  # cleanup after swallowed error
+
+
+class TestTolerantListSubtrees:
+    def test_tolerant_equals_strict_on_list_subtrees(self, tmp_path):
+        """flax to_state_dict encodes lists as {'0': ...} dicts; the tolerant
+        loader must restore them (round-1 bug: every list subtree — the
+        backbone's encoder/decoder blocks — silently kept the random
+        template, crippling every tolerant backbone load)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+            checkpoint as ck)
+
+        tree = {
+            "blocks": [
+                {"w": jnp.arange(4.0), "units": [{"a": jnp.ones((2,))},
+                                                 {"a": jnp.zeros((2,))}]},
+                {"w": jnp.arange(4.0) * 2, "units": [{"a": 3 * jnp.ones((2,))},
+                                                     {"a": 4 * jnp.ones((2,))}]},
+            ],
+            "top": jnp.asarray([7.0]),
+        }
+        p = str(tmp_path / "t.msgpack")
+        ck.save_checkpoint(p, tree, 1)
+        template = jax.tree.map(lambda x: jnp.zeros_like(x) - 1.0, tree)
+        strict, _, _ = ck.load_checkpoint(p, template)
+        tol, _, _ = ck.load_checkpoint_tolerant(p, template)
+        for a, b in zip(jax.tree.leaves(strict), jax.tree.leaves(tol)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # and the restored values are the SAVED ones, not the template
+        np.testing.assert_allclose(np.asarray(tol["blocks"][1]["w"]),
+                                   np.arange(4.0) * 2)
+
+    def test_tolerant_real_backbone_roundtrip(self, tmp_path):
+        """A tiny DAC params tree (with blocks lists) must round-trip through
+        the tolerant loader bit-exactly."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+            DacConfig)
+        from multimodal_vqvae_compression_audio_tactile_tpu.models import dac
+        from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+            checkpoint as ck)
+
+        cfg = DacConfig().tiny()
+        params = dac.dac_init(jax.random.key(5), cfg)
+        p = str(tmp_path / "bb.msgpack")
+        ck.save_checkpoint(p, params, 3)
+        template = dac.dac_init(jax.random.key(6), cfg)  # different init
+        tol, ep, _ = ck.load_checkpoint_tolerant(p, template)
+        assert ep == 3
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(tol)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
