@@ -229,6 +229,8 @@ def pretrain_backbone(
     gan: GanConfig | None = None,
     nq_dropout: bool = True,
     warmup_steps: int | None = None,
+    resume_from: str | None = None,
+    start_epoch: int | None = None,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Train one backbone; batches yield waveforms [B, 1, T] (single modality).
@@ -239,9 +241,21 @@ def pretrain_backbone(
     saved whenever validation improves by > 1%). ``gan`` switches on the
     adversarial recipe (MPD + MS-STFT discriminators, hinge + feature
     matching) after ``gan.start_epoch`` reconstruction-only warmup epochs.
+
+    ``resume_from``/``start_epoch`` continue an interrupted run: params load
+    from the checkpoint, the LR schedule resumes at its correct step position
+    (optimizer moments restart fresh — the decayed cosine LR absorbs the
+    perturbation within a few steps).
     """
     os.makedirs(out_dir, exist_ok=True)
     params = dac.dac_init(jax.random.key(seed), cfg)
+    if resume_from is not None:
+        params, ck_epoch, _ = ckpt.load_checkpoint(resume_from, params)
+        if start_epoch is None:
+            start_epoch = ck_epoch + 1
+        log(f"[pretrain] resuming from {resume_from} "
+            f"(epoch {ck_epoch}) at epoch {start_epoch}")
+    start_epoch = start_epoch or 1
     if steps_per_epoch is None:
         steps_per_epoch = max(1, sum(1 for _ in train_batches(0)))
 
@@ -250,6 +264,12 @@ def pretrain_backbone(
         warmup_steps = min(500, max(50, total_steps // 20))
     schedule = warmup_cosine_lr(tcfg.lr, total_steps, warmup_steps,
                                 tcfg.lr_min_frac)
+    if start_epoch > 1:
+        # resume: optax's internal step count restarts at 0 with the fresh
+        # optimizer state, so shift the schedule to its true position
+        sched_off = (start_epoch - 1) * steps_per_epoch
+        base_schedule = schedule
+        schedule = lambda step: base_schedule(step + sched_off)  # noqa: E731
     tx = optax.apply_if_finite(
         optax.chain(optax.clip_by_global_norm(tcfg.grad_clip),
                     optax.adamw(schedule, b1=tcfg.adam_b1, b2=tcfg.adam_b2,
@@ -303,7 +323,7 @@ def pretrain_backbone(
     hist = {"train": [], "val": []}
     acp = ckpt.AsyncCheckpointer()
     try:
-        for ep in range(1, tcfg.epochs + 1):
+        for ep in range(start_epoch, tcfg.epochs + 1):
             t0 = time.time()
             step_fn = select_step(ep)
             step_parts = []  # pulled to host once per epoch (tunnel-friendly)

@@ -39,6 +39,20 @@ def run_sweep(
             cfg = base_cfg.with_rvq(books, embed)
             run_dir = os.path.join(out_root, artifacts.run_dir_name(books, embed))
             kbps = cfg.kbps(tps)
+            # meta.json is written only after train_codec returns, so a
+            # matching meta + a loadable checkpoint marks a completed run
+            # (best.msgpack needs val to beat best_after_epoch; short runs
+            # may only have last.msgpack)
+            prior = artifacts.read_meta(run_dir)
+            has_ckpt = any(os.path.isfile(os.path.join(run_dir, f))
+                           for f in ("best.msgpack", "last.msgpack"))
+            if has_ckpt and prior and prior.get("epochs") == tcfg.epochs:
+                # resumable sweep: completed runs are not retrained on
+                # driver restarts
+                log(f"[sweep] rvqB{books}_K{embed} already trained — skip")
+                rows.append({"run": artifacts.run_dir_name(books, embed),
+                             **prior})
+                continue
             log(f"[sweep] rvqB{books}_K{embed} ~ {kbps:.3f} kbps")
             hist = train_codec(cfg, tcfg, backbones, train_batches, val_batches,
                                run_dir, save_every=save_every,

@@ -56,6 +56,18 @@ def write_meta(out_dir: str, meta: dict) -> None:
     write_json(os.path.join(out_dir, "meta.json"), meta)
 
 
+def read_meta(out_dir: str) -> Optional[dict]:
+    """meta.json contents, or None if absent/unreadable."""
+    p = os.path.join(out_dir, "meta.json")
+    if not os.path.isfile(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
 def run_dir_name(books: int, embed: int) -> str:
     """``rvqB{B}_K{K}`` (reference: Training/compare_dacvsproposal_5.py run dirs)."""
     return f"rvqB{books}_K{embed}"

@@ -256,7 +256,11 @@ def main() -> None:
     vc_comp = os.path.join(root, "vc_compressed")
     vc_b_list = EvalConfig().vc_b_list  # full reference budget set
     if os.path.exists(codec_bin) and not args.only_plc_category:
+        import glob as _glob
+        n_t = len(_glob.glob(os.path.join(tact_dir, "*.wav")))
         for b in vc_b_list:
+            if len(_glob.glob(os.path.join(vc_dec, f"*_{b}.wav"))) >= n_t:
+                continue  # already coded (idempotent reruns)
             subprocess.run([codec_bin, "batch", tact_dir, vc_dec, vc_comp,
                             str(b)], check=True)
 

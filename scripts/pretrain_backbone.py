@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--gan-start-epoch", type=int, default=1,
                     help="reconstruction-only warmup epochs before the GAN")
     ap.add_argument("--no-nq-dropout", action="store_true")
+    ap.add_argument("--resume", metavar="CKPT",
+                    help="continue an interrupted run from this params "
+                         "checkpoint (epoch read from the file; LR schedule "
+                         "resumes at its true position)")
     args = ap.parse_args()
     _common.setup_jax(cpu=args.cpu)
 
@@ -111,6 +115,7 @@ def main() -> None:
         save_every=args.save_every,
         nq_dropout=not args.no_nq_dropout,
         warmup_steps=args.warmup_steps or None,
+        resume_from=args.resume,
         gan=GanConfig(start_epoch=args.gan_start_epoch) if args.gan else None)
 
 
