@@ -149,3 +149,83 @@ class TestTolerantListSubtrees:
         assert ep == 3
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(tol)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestSweepSkipAndPretrainResume:
+    def test_sweep_skips_completed_runs(self, tmp_path, monkeypatch):
+        """A run dir with matching meta.json + a checkpoint is not retrained
+        on sweep reruns (driver-restart resumability)."""
+        from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+            SweepConfig)
+        from multimodal_vqvae_compression_audio_tactile_tpu.train import sweep
+        from multimodal_vqvae_compression_audio_tactile_tpu.utils import (
+            artifacts)
+
+        calls = []
+
+        def fake_train(cfg, tcfg, backbones, train_batches, val_batches,
+                       out_dir, **kw):
+            calls.append(out_dir)
+            os.makedirs(out_dir, exist_ok=True)
+            ckpt.save_checkpoint(os.path.join(out_dir, "last.msgpack"),
+                                 {"w": jnp.zeros((2,))}, tcfg.epochs)
+            return {"train": [1.0], "val": [0.5]}
+
+        monkeypatch.setattr(sweep, "train_codec", fake_train)
+        tcfg = TrainConfig(epochs=2, batch=2)
+        scfg = SweepConfig(books_grid=(1, 2), embed_grid=(128,))
+        out = str(tmp_path / "sw")
+        rows1 = sweep.run_sweep(CFG, tcfg, scfg, {}, lambda ep: iter(()),
+                                lambda: iter(()), out, log=lambda s: None)
+        assert len(calls) == 2
+        rows2 = sweep.run_sweep(CFG, tcfg, scfg, {}, lambda ep: iter(()),
+                                lambda: iter(()), out, log=lambda s: None)
+        assert len(calls) == 2  # nothing retrained
+        assert [r["run"] for r in rows2] == [r["run"] for r in rows1]
+        assert rows2[0]["best_val"] == rows1[0]["best_val"]
+        # a different epoch budget invalidates the completion marker
+        sweep.run_sweep(CFG, TrainConfig(epochs=3, batch=2), scfg, {},
+                        lambda ep: iter(()), lambda: iter(()), out,
+                        log=lambda s: None)
+        assert len(calls) == 4
+
+    def test_read_meta_absent_and_corrupt(self, tmp_path):
+        from multimodal_vqvae_compression_audio_tactile_tpu.utils import (
+            artifacts)
+
+        assert artifacts.read_meta(str(tmp_path)) is None
+        (tmp_path / "meta.json").write_text("{not json")
+        assert artifacts.read_meta(str(tmp_path)) is None
+        (tmp_path / "meta.json").write_text('{"epochs": 5}')
+        assert artifacts.read_meta(str(tmp_path)) == {"epochs": 5}
+
+    def test_pretrain_resume_schedule_offset(self, tmp_path):
+        """Resume loads the checkpoint, starts at the next epoch, and runs
+        only the remaining epochs."""
+        from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+            DacConfig)
+        from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+            pretrain_backbone as pb)
+
+        cfg = DacConfig().tiny()
+        rng = np.random.default_rng(0)
+        batches = [(0.3 * rng.standard_normal((2, 1, 2048))).astype(np.float32)
+                   for _ in range(2)]
+        tcfg = TrainConfig(epochs=2, batch=2, seg_sec=2048 / 24000)
+        out = str(tmp_path / "bb")
+        logs = []
+        pb.pretrain_backbone(cfg, tcfg, lambda ep: iter(batches),
+                             lambda: iter(batches[:1]), out_dir=out,
+                             steps_per_epoch=2, log=logs.append)
+        assert len(logs) == 2
+
+        tcfg4 = TrainConfig(epochs=4, batch=2, seg_sec=2048 / 24000)
+        logs2 = []
+        hist = pb.pretrain_backbone(
+            cfg, tcfg4, lambda ep: iter(batches), lambda: iter(batches[:1]),
+            out_dir=out, steps_per_epoch=2,
+            resume_from=os.path.join(out, "last.msgpack"), log=logs2.append)
+        assert any("resuming" in s for s in logs2)
+        # epochs 3 and 4 only (+1 resume line)
+        assert sum("epoch 003" in s or "epoch 004" in s for s in logs2) == 2
+        assert not any("epoch 001" in s for s in logs2)
