@@ -96,6 +96,24 @@ def crop_indices(n_pairs: int, t_tok_total: int, seg_tok: int, batch: int,
         yield (jnp.asarray(idx, jnp.int32), jnp.asarray(tok0, jnp.int32))
 
 
+def crop_index_arrays(rows: Sequence[int], t_tok_total: int, seg_tok: int,
+                      batch: int, steps: int, seed: int, epoch: int):
+    """Whole-epoch crop plan as two [steps, batch] int32 arrays (idx, tok0).
+
+    Feeds the scanned-epoch fast path (train/loop.py::make_cached_epoch_fns):
+    the per-step generator (``cached_batches``) costs two tunnel dispatches per
+    step on this runtime (~80 ms floor each), so an epoch's crops are planned
+    on host and shipped to the device ONCE, then consumed by a lax.scan.
+    """
+    rows = np.asarray(rows, np.int32)
+    rng = np.random.default_rng((seed, epoch))
+    hi = max(1, t_tok_total - seg_tok - EDGE_TOKENS)
+    lo = min(EDGE_TOKENS, hi - 1)
+    idx = rng.integers(0, rows.shape[0], size=(steps, batch))
+    tok0 = rng.integers(lo, hi, size=(steps, batch)).astype(np.int32)
+    return rows[idx], tok0
+
+
 def cached_batches(cache: LatentCache, cfg: CodecConfig, batch: int,
                    steps: int, seg_tok: int, seed: int, epoch: int,
                    indices: Sequence[int] | None = None):

@@ -84,10 +84,12 @@ def make_optimizer(head: dict, tcfg: TrainConfig, steps_per_epoch: int
 METRIC_KEYS = ("total", "l1", "stft", "mel", "vq_bits", "vq_bits_min", "vq_used")
 
 
-def make_train_step(cfg: CodecConfig, tcfg: TrainConfig,
-                    tx: optax.GradientTransformation,
-                    ema_decay: Optional[float] = None):
-    """Build the jitted train step over (state, backbones, batch, rng, do_ema).
+def make_step_fns(cfg: CodecConfig, tcfg: TrainConfig,
+                  tx: optax.GradientTransformation,
+                  ema_decay: Optional[float] = None):
+    """Build the UN-jitted (train_step, eval_step) over (state, backbones,
+    batch, rng, do_ema) — callers jit them directly (make_train_step) or embed
+    them in a scanned whole-epoch program (make_cached_epoch_fns).
 
     Steps return metrics as ONE [len(METRIC_KEYS)] array: every device->host
     fetch over a tunneled TPU costs ~seconds of polling latency and device_get
@@ -131,7 +133,6 @@ def make_train_step(cfg: CodecConfig, tcfg: TrainConfig,
                      vq_used=jnp.mean(stats["used_frac"]))
         return jnp.stack([parts[k] for k in METRIC_KEYS])
 
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, backbones: dict, a, tc, base_rng,
                    do_ema=False):
         # per-step dropout key derived ON DEVICE: a host-side fold_in would
@@ -159,7 +160,6 @@ def make_train_step(cfg: CodecConfig, tcfg: TrainConfig,
         metrics = _pack_metrics(parts, codes, valid)
         return TrainState(head, opt_state, state.step + 1), metrics
 
-    @jax.jit
     def eval_step(head: dict, backbones: dict, a, tc):
         total, (parts, _, valid, codes) = loss_fn(head, backbones, a, tc, None)
         return _pack_metrics(parts, codes, valid)
@@ -167,26 +167,89 @@ def make_train_step(cfg: CodecConfig, tcfg: TrainConfig,
     return train_step, eval_step
 
 
+def make_train_step(cfg: CodecConfig, tcfg: TrainConfig,
+                    tx: optax.GradientTransformation,
+                    ema_decay: Optional[float] = None):
+    """Jitted per-step entry points (see make_step_fns)."""
+    train_step, eval_step = make_step_fns(cfg, tcfg, tx, ema_decay)
+    return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step))
+
+
+def make_cached_epoch_fns(cfg: CodecConfig, tcfg: TrainConfig,
+                          tx: optax.GradientTransformation, seg_tok: int,
+                          ema_decay: Optional[float] = None):
+    """Whole-epoch programs over a device-resident latent cache.
+
+    The per-step loop costs 2 tunnel dispatches/step (~80 ms floor each on the
+    tunneled runtime) — at 50 steps/epoch that is ~10 s/epoch of pure dispatch
+    for ~1 s of compute. With the frozen-backbone latents HBM-resident
+    (train/latent_cache.py), the entire epoch is ONE jitted lax.scan: crops are
+    gathered in-graph by dynamic_slice from the cache and the step body (grads
+    + masked AdamW + EMA/reinit) runs under the scan. The host ships only two
+    small [steps, batch] int32 crop-plan arrays per epoch.
+    """
+    from . import latent_cache as lc
+
+    train_step, eval_step = make_step_fns(cfg, tcfg, tx, ema_decay)
+    hop = cfg.dac.hop
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_epoch(state: TrainState, backbones: dict, cache, idxs, tok0s,
+                    base_rng, do_ema=False):
+        def body(st, xs):
+            i, t0 = xs
+            qa, zt, tc = lc.gather_crops(cache, i, t0, seg_tok, hop)
+            return train_step(st, backbones, (qa, zt), tc, base_rng,
+                              do_ema=do_ema)
+
+        state, ms = jax.lax.scan(body, state, (idxs, tok0s))
+        return state, ms.mean(0)
+
+    @jax.jit
+    def eval_epoch(head: dict, backbones: dict, cache, idxs, tok0s):
+        def body(carry, xs):
+            i, t0 = xs
+            qa, zt, tc = lc.gather_crops(cache, i, t0, seg_tok, hop)
+            return carry, eval_step(head, backbones, (qa, zt), tc)
+
+        _, ms = jax.lax.scan(body, None, (idxs, tok0s))
+        return ms.mean(0)
+
+    return train_epoch, eval_epoch
+
+
 def train_codec(
     cfg: CodecConfig,
     tcfg: TrainConfig,
     backbones: dict,
-    train_batches: Callable[[int], Iterable],
-    val_batches: Callable[[], Iterable],
+    train_batches: Optional[Callable[[int], Iterable]],
+    val_batches: Optional[Callable[[], Iterable]],
     out_dir: str,
     seed: int = 7,
     mesh=None,
     steps_per_epoch: Optional[int] = None,
     save_every: int = 1,
     resume: bool = False,
+    cache=None,
+    cache_train_rows=None,
+    cache_val_rows=None,
+    seg_tok: Optional[int] = None,
+    val_steps: Optional[int] = None,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Full training run with the reference artifact contract.
 
     backbones: {"audio": dac_params, "tactile": dac_params} (frozen).
     train_batches(epoch) / val_batches(): callables yielding (a, tc) numpy batches.
+    cache: optional train/latent_cache.py LatentCache — switches to the
+    scanned whole-epoch fast path (ONE dispatch per train epoch instead of two
+    per step; see make_cached_epoch_fns) using ``cache_train_rows`` /
+    ``cache_val_rows`` pair-row splits and ``seg_tok``-token crops; the
+    generator args are ignored then and may be None.
     Returns the history dict; writes last/best checkpoints + hist.json + curves.png.
     """
+    from . import latent_cache as lc
+
     os.makedirs(out_dir, exist_ok=True)
     key = jax.random.key(seed)
     head = allpred_ar.head_init(key, cfg)
@@ -202,11 +265,33 @@ def train_codec(
         start_epoch = last_epoch + 1
         log(f"[resume] from {last_path} at epoch {last_epoch}")
 
-    if steps_per_epoch is None:
+    use_scan = cache is not None
+    if use_scan:
+        rows_tr = np.asarray(
+            cache_train_rows if cache_train_rows is not None
+            else np.arange(cache.qa.shape[0]), np.int32)
+        rows_va = np.asarray(
+            cache_val_rows if cache_val_rows is not None else rows_tr,
+            np.int32)
+        if steps_per_epoch is None:
+            steps_per_epoch = max(1, rows_tr.shape[0] // tcfg.batch)
+    elif steps_per_epoch is None:
         steps_per_epoch = max(1, sum(1 for _ in train_batches(0)))
     tx = make_optimizer(head, tcfg, steps_per_epoch)
     state = TrainState(head, tx.init(head), jnp.zeros((), jnp.int32))
-    train_step, eval_step = make_train_step(cfg, tcfg, tx)
+    if use_scan:
+        cache = jax.device_put(cache)  # commit once (no-op if already resident)
+        t_tok_total = int(cache.qa.shape[-1])
+        n_val_steps = val_steps or max(1, rows_va.shape[0] // tcfg.batch)
+        # fixed deterministic val crop plan, uploaded once (tiny int32 arrays)
+        va_idx, va_tok0 = lc.crop_index_arrays(
+            rows_va, t_tok_total, seg_tok, tcfg.batch, n_val_steps,
+            seed + 77, 0)
+        va_idx = jax.device_put(jnp.asarray(va_idx))
+        va_tok0 = jax.device_put(jnp.asarray(va_tok0))
+        train_epoch, eval_epoch = make_cached_epoch_fns(cfg, tcfg, tx, seg_tok)
+    else:
+        train_step, eval_step = make_train_step(cfg, tcfg, tx)
 
     if mesh is None and len(jax.devices()) > 1 and \
             tcfg.batch % len(jax.devices()) == 0:
@@ -244,28 +329,41 @@ def train_codec(
     try:
         for ep in range(start_epoch, tcfg.epochs + 1):
             t0 = time.time()
-            step_metrics = []  # metric vectors on device; ONE fetch per epoch
             do_ema = ep > cfg.rvq.ema_warm_epochs
 
             def unpack(b):
                 # 2-tuple: (a, tc) waveforms; 3-tuple: cached (qa, zt, tc)
                 return ((b[0], b[1]), b[2]) if len(b) == 3 else b
 
-            for b in train_batches(ep):
-                a, tc = put(unpack(b))
-                state, metrics = train_step(state, backbones, a, tc, base_rng,
-                                            do_ema=do_ema)
-                step_metrics.append(metrics)
-            val_metrics = [eval_step(state.head, backbones, *put(unpack(b)))
-                           for b in val_batches()]
-            # exactly ONE device->host fetch for the whole epoch: train and val
-            # means ride the same transfer (each fetch costs a tunnel roundtrip)
-            nm = len(METRIC_KEYS)
-            packed = np.asarray(jnp.stack([
-                jnp.stack(step_metrics).mean(0) if step_metrics
-                else jnp.zeros(nm),
-                jnp.stack(val_metrics).mean(0) if val_metrics
-                else jnp.zeros(nm)]))
+            if use_scan:
+                idxs, tok0s = lc.crop_index_arrays(
+                    rows_tr, t_tok_total, seg_tok, tcfg.batch,
+                    steps_per_epoch, seed, ep)
+                state, train_mean_d = train_epoch(
+                    state, backbones, cache, jnp.asarray(idxs),
+                    jnp.asarray(tok0s), base_rng, do_ema=do_ema)
+                val_mean_d = eval_epoch(state.head, backbones, cache,
+                                        va_idx, va_tok0)
+                packed = np.asarray(jnp.stack([train_mean_d, val_mean_d]))
+            else:
+                step_metrics = []  # metric vecs on device; ONE fetch per epoch
+                for b in train_batches(ep):
+                    a, tc = put(unpack(b))
+                    state, metrics = train_step(state, backbones, a, tc,
+                                                base_rng, do_ema=do_ema)
+                    step_metrics.append(metrics)
+                val_metrics = [eval_step(state.head, backbones,
+                                         *put(unpack(b)))
+                               for b in val_batches()]
+                # exactly ONE device->host fetch for the whole epoch: train and
+                # val means ride the same transfer (each fetch costs a tunnel
+                # roundtrip)
+                nm = len(METRIC_KEYS)
+                packed = np.asarray(jnp.stack([
+                    jnp.stack(step_metrics).mean(0) if step_metrics
+                    else jnp.zeros(nm),
+                    jnp.stack(val_metrics).mean(0) if val_metrics
+                    else jnp.zeros(nm)]))
             train_mean, val_mean = packed[0], packed[1]
             sums = dict(zip(METRIC_KEYS, train_mean.tolist()))
             hist["train"].append(sums["total"])

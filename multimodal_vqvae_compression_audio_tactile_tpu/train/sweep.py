@@ -28,6 +28,11 @@ def run_sweep(
     tokens_per_sec: Optional[float] = None,
     save_every: int = 1,
     steps_per_epoch: Optional[int] = None,
+    cache=None,
+    cache_train_rows=None,
+    cache_val_rows=None,
+    seg_tok: Optional[int] = None,
+    val_steps: Optional[int] = None,
     log: Callable[[str], None] = print,
 ) -> list[dict]:
     """Train every (books, embed) combo; returns summary rows (also written as CSV)."""
@@ -56,7 +61,12 @@ def run_sweep(
             log(f"[sweep] rvqB{books}_K{embed} ~ {kbps:.3f} kbps")
             hist = train_codec(cfg, tcfg, backbones, train_batches, val_batches,
                                run_dir, save_every=save_every,
-                               steps_per_epoch=steps_per_epoch, log=log)
+                               steps_per_epoch=steps_per_epoch,
+                               resume=True,  # continue partial runs on restart
+                               cache=cache,
+                               cache_train_rows=cache_train_rows,
+                               cache_val_rows=cache_val_rows,
+                               seg_tok=seg_tok, val_steps=val_steps, log=log)
             best_val = min(hist["val"]) if hist["val"] else float("nan")
             meta = {
                 "rvq_books": books,

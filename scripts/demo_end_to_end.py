@@ -176,6 +176,7 @@ def main() -> None:
         embed_grid=tuple(int(x) for x in args.embed_grid.split(",")))
 
     sweep_train_it, sweep_val_it, sweep_steps = train_it, val_it, None
+    cache = tr_rows = va_rows = seg_tok = n_val = None
     if args.cached_heads and not args.only_plc_category:
         from multimodal_vqvae_compression_audio_tactile_tpu.train import (
             latent_cache as lc)
@@ -218,7 +219,11 @@ def main() -> None:
             train_batches=sweep_train_it,
             val_batches=sweep_val_it,
             out_root=sweep_root, save_every=5,
-            steps_per_epoch=sweep_steps)
+            steps_per_epoch=sweep_steps,
+            # scanned-epoch fast path: ONE dispatch per epoch instead of two
+            # per step (train/loop.py::make_cached_epoch_fns)
+            cache=cache, cache_train_rows=tr_rows, cache_val_rows=va_rows,
+            seg_tok=seg_tok, val_steps=n_val)
         print(f"[demo] sweep trained in {time.time()-t0:.0f}s", flush=True)
 
     # ---- 4. PLC -----------------------------------------------------------

@@ -162,6 +162,92 @@ class TestLatentCacheTraining:
         t = jnp.asarray(rng.standard_normal((1, 1, 3200)).astype(np.float32))
         assert bool(jnp.isfinite(allpred_ar.forward_eval(p2, CFG, a, t)).all())
 
+    def test_scanned_epoch_matches_stepwise(self, corpus):
+        """The whole-epoch lax.scan program (make_cached_epoch_fns) produces
+        the same trained head and metrics as stepping make_train_step over the
+        identical crop plan — it is a dispatch-count optimization only."""
+        from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+            latent_cache as lc)
+        from multimodal_vqvae_compression_audio_tactile_tpu.train.loop import (
+            TrainState, make_cached_epoch_fns, make_optimizer, make_train_step)
+        _, pairs = corpus
+        ds = SegmentDataset(pairs, sr=24000, seg=4800)
+        params = allpred_ar.codec_init(jax.random.key(3), CFG)
+        backbones = {"audio": params.audio_dac, "tactile": params.tactile_dac}
+        cache = lc.build_latent_cache(
+            backbones, CFG,
+            batch_iterator(ds, 2, shuffle=False, drop_last=False))
+        seg_tok, steps = 10, 3
+        tcfg = TrainConfig(epochs=1, batch=2, best_after_epoch=0,
+                           seg_sec=seg_tok * CFG.dac.hop / 24000)
+        head = allpred_ar.head_init(jax.random.key(4), CFG)
+        tx = make_optimizer(head, tcfg, steps)
+        fresh = lambda: TrainState(  # noqa: E731 (donated args need copies)
+            jax.tree.map(jnp.array, head),
+            jax.device_put(tx.init(head)), jnp.zeros((), jnp.int32))
+        idxs, tok0s = lc.crop_index_arrays(
+            [0, 1, 2, 3], int(cache.qa.shape[-1]), seg_tok, 2, steps, 7, 1)
+        rng = jax.random.key(11)
+
+        train_epoch, eval_epoch = make_cached_epoch_fns(CFG, tcfg, tx, seg_tok)
+        st_scan, mean_scan = train_epoch(fresh(), backbones, cache,
+                                         jnp.asarray(idxs), jnp.asarray(tok0s),
+                                         rng, do_ema=True)
+
+        train_step, _ = make_train_step(CFG, tcfg, tx)
+        st = fresh()
+        ms = []
+        for s in range(steps):
+            qa, zt, tc = lc.gather_crops(cache, jnp.asarray(idxs[s]),
+                                         jnp.asarray(tok0s[s]), seg_tok,
+                                         CFG.dac.hop)
+            st, m = train_step(st, backbones, (qa, zt), tc, rng, do_ema=True)
+            ms.append(m)
+        mean_step = jnp.stack(ms).mean(0)
+
+        np.testing.assert_allclose(np.asarray(mean_scan),
+                                   np.asarray(mean_step), rtol=2e-5, atol=2e-6)
+        key_of = lambda kv: str(kv[0])  # noqa: E731
+        for (pa, va), (pb, vb) in zip(
+                sorted(jax.tree_util.tree_flatten_with_path(st_scan.head)[0],
+                       key=key_of),
+                sorted(jax.tree_util.tree_flatten_with_path(st.head)[0],
+                       key=key_of)):
+            np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                       rtol=2e-5, atol=2e-6, err_msg=str(pa))
+
+    def test_train_codec_scan_path_artifacts(self, corpus, tmp_path):
+        """train_codec(cache=...) trains via the scanned path and honors the
+        artifact + resume contract."""
+        from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+            latent_cache as lc)
+        _, pairs = corpus
+        ds = SegmentDataset(pairs, sr=24000, seg=4800)
+        params = allpred_ar.codec_init(jax.random.key(5), CFG)
+        backbones = {"audio": params.audio_dac, "tactile": params.tactile_dac}
+        cache = lc.build_latent_cache(
+            backbones, CFG,
+            batch_iterator(ds, 2, shuffle=False, drop_last=False))
+        tcfg = TrainConfig(epochs=2, batch=2, best_after_epoch=0,
+                           seg_sec=10 * CFG.dac.hop / 24000)
+        out_dir = str(tmp_path / "scan_run")
+        hist = train_codec(
+            CFG, tcfg, backbones, None, None, out_dir,
+            steps_per_epoch=3, cache=cache, cache_train_rows=[0, 1, 2, 3],
+            cache_val_rows=[4, 5], seg_tok=10, val_steps=1)
+        assert len(hist["train"]) == 2
+        assert all(np.isfinite(v) for v in hist["train"] + hist["val"])
+        assert os.path.exists(os.path.join(out_dir, "last.msgpack"))
+        # resume continues from the saved epoch on the scan path too
+        tcfg3 = TrainConfig(epochs=3, batch=2, best_after_epoch=0,
+                            seg_sec=10 * CFG.dac.hop / 24000)
+        hist2 = train_codec(
+            CFG, tcfg3, backbones, None, None, out_dir,
+            steps_per_epoch=3, cache=cache, cache_train_rows=[0, 1, 2, 3],
+            cache_val_rows=[4, 5], seg_tok=10, val_steps=1, resume=True)
+        assert len(hist2["train"]) == 3
+        assert hist2["train"][:2] == hist["train"]
+
 
 class TestCheckpoint:
     def test_roundtrip_exact(self, tmp_path):
