@@ -51,7 +51,7 @@ def run_sweep(
             prior = artifacts.read_meta(run_dir)
             has_ckpt = any(os.path.isfile(os.path.join(run_dir, f))
                            for f in ("best.msgpack", "last.msgpack"))
-            if has_ckpt and prior and prior.get("epochs") == tcfg.epochs:
+            if has_ckpt and prior and prior.get("epochs", 0) >= tcfg.epochs:
                 # resumable sweep: completed runs are not retrained on
                 # driver restarts
                 log(f"[sweep] rvqB{books}_K{embed} already trained — skip")
