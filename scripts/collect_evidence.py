@@ -66,10 +66,24 @@ def main() -> None:
         lines.append("")
         lines.append("proposed sweep (cross-modal AR codec):")
         for r in sorted(j["proposed_runs"], key=lambda x: x["kbps"]):
+            # final per-book codebook usage from the run's training history:
+            # the round-1 review's collapse criterion was bits/book, so the
+            # measured entropy rides along with each rate-distortion row.
+            vq = ""
+            hp = os.path.join(args.root, "sweep", r["run"], "hist.json")
+            if os.path.exists(hp):
+                with open(hp) as f:
+                    h = json.load(f)
+                if h.get("vq_bits"):
+                    vq = (f" | VQ {h['vq_bits'][-1]:.2f}b/book"
+                          f" (min {h['vq_bits_min'][-1]:.2f})")
+            coded = r.get("kbps_entropy_coded")
+            coded_s = f" ({coded:.2f} coded)" if coded else ""
             lines.append(
-                f"  {r['run']:>14}: {r['kbps']:5.2f} kbps | "
+                f"  {r['run']:>14}: {r['kbps']:5.2f} kbps{coded_s} | "
                 f"PSNR {r['psnr_mean']:.2f} dB | ST-SIM {r['stsim_mean']:.4f}"
-                f" | enc {r.get('encoding_delay_ms', float('nan')):.2f} ms")
+                f" | enc {r.get('encoding_delay_ms', float('nan')):.2f} ms"
+                + vq)
         lines.append("backbone codec alone:")
         for q, d in sorted(j["dac_24khz"].items(),
                            key=lambda kv: kv[1]["kbps"]):
