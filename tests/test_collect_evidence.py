@@ -44,7 +44,8 @@ def _make_root(tmp_path):
     with open(plc / "eval_summary.json", "w") as f:
         json.dump({"mean_psnr_masked_db": 25.0,
                    "mean_psnr_unmasked_db": 27.0,
-                   "mean_psnr_zero_fill_masked_db": 12.0}, f)
+                   "mean_psnr_masked_zero_db": 12.0,
+                   "plc_gain_masked_db": 13.0}, f)
     return root
 
 
@@ -65,7 +66,8 @@ def test_collect_evidence_summary(tmp_path):
     assert "b= 8:  1.40 kbps" in summary
     # PLC masked/unmasked/zero-fill split survives into the summary
     assert "mean_psnr_masked_db = 25.0000" in summary
-    assert "mean_psnr_zero_fill_masked_db = 12.0000" in summary
+    assert "mean_psnr_masked_zero_db = 12.0000" in summary
+    assert "plc_gain_masked_db = 13.0000" in summary
     # artifacts copied
     assert (out / "eval_all_vs_backbone_rawPSNR_latency.json").exists()
     assert (out / "sweep_summary.csv").exists()
