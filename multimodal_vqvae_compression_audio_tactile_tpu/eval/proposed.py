@@ -174,6 +174,16 @@ def eval_proposed_runs(
     for run in runs:
         parsed = artifacts.parse_run_dir(run)
         ckpt_path = os.path.join(run, checkpoint_name)
+        ckpt_used = checkpoint_name
+        if parsed is not None and not os.path.isfile(ckpt_path):
+            # beyond-reference tolerance: an interrupted run can lose the
+            # queued best.msgpack write while keeping last.msgpack (the
+            # reference's strict best-only glob would drop the grid point
+            # silently); evaluate last and label it in the row
+            alt = os.path.join(run, "last.msgpack")
+            if checkpoint_name == "best.msgpack" and os.path.isfile(alt):
+                log(f"[fallback] {run}: best.msgpack missing, using last")
+                ckpt_path, ckpt_used = alt, "last.msgpack"
         if parsed is None or not os.path.isfile(ckpt_path):
             log(f"[skip] {run}")
             continue
@@ -190,5 +200,6 @@ def eval_proposed_runs(
                                       books_use=books, ecfg=ecfg,
                                       protocol=protocol, latency=lat,
                                       prepared=prepared)
-        results.append({"run": os.path.basename(run), "path": run, **row})
+        results.append({"run": os.path.basename(run), "path": run,
+                        "checkpoint": ckpt_used, **row})
     return results

@@ -34,9 +34,12 @@ def main() -> None:
         + sorted(glob.glob(os.path.join(ev, "proposed_example_01*.png")))
         + [os.path.join(args.root, "sweep", "sweep_summary.csv")]
         + [os.path.join(args.root, "plc_uniform", "eval_summary.json"),
-           os.path.join(args.root, "plc_category", "eval_summary.json"),
            os.path.join(args.root, "plc_uniform", "eval_metrics.csv"),
-           os.path.join(args.root, "plc_category", "eval_metrics.csv")]
+           # the category evaluator's artifact names differ (per-category
+           # CSVs + eval_cat_summary.json, mirroring PLC1_low_mid_high_eval)
+           os.path.join(args.root, "plc_category", "eval_cat_summary.json")]
+        + sorted(glob.glob(os.path.join(args.root, "plc_category",
+                                        "eval_metrics_*.csv")))
         + sorted(glob.glob(os.path.join(args.root, "plc_uniform",
                                         "plc_pair_*_wave.png")))[:1]
         + sorted(glob.glob(os.path.join(args.root, "plc_category",
@@ -95,16 +98,25 @@ def main() -> None:
             lines.append(f"  b={r['b']:>2}: {r['kbps']:5.2f} kbps | "
                          f"PSNR {r['psnr_mean']:.2f} dB | "
                          f"ST-SIM {r['stsim_mean']:.4f}")
-    for tag in ("plc_uniform", "plc_category"):
-        sp = os.path.join(args.root, tag, "eval_summary.json")
-        if not os.path.exists(sp):
-            continue
+    sp = os.path.join(args.root, "plc_uniform", "eval_summary.json")
+    if os.path.exists(sp):
         with open(sp) as f:
             s = json.load(f)
-        lines.append(f"{tag}:")
+        lines.append("plc_uniform:")
         for k in sorted(s):
             if isinstance(s[k], float):
                 lines.append(f"  {k} = {s[k]:.4f}")
+    sp = os.path.join(args.root, "plc_category", "eval_cat_summary.json")
+    if os.path.exists(sp):
+        with open(sp) as f:
+            s = json.load(f)
+        for cat in ("low", "medium", "high"):
+            if cat not in s:
+                continue
+            lines.append(f"plc_category [{cat}]:")
+            for k in sorted(s[cat]):
+                if isinstance(s[cat][k], float):
+                    lines.append(f"  {k} = {s[cat][k]:.4f}")
     out = os.path.join(args.out, "SUMMARY.txt")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")

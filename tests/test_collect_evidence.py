@@ -46,6 +46,15 @@ def _make_root(tmp_path):
                    "mean_psnr_unmasked_db": 27.0,
                    "mean_psnr_masked_zero_db": 12.0,
                    "plc_gain_masked_db": 13.0}, f)
+    cat = root / "plc_category"
+    cat.mkdir()
+    with open(cat / "eval_cat_summary.json", "w") as f:
+        json.dump({"low": {"mean_psnr_masked_db": 24.0,
+                           "plc_gain_masked_db": 9.5},
+                   "medium": {"mean_psnr_masked_db": 22.0},
+                   "peak_global": 3.5}, f)
+    with open(cat / "eval_metrics_low.csv", "w") as f:
+        f.write("file,psnr\nx,24.0\n")
     return root
 
 
@@ -68,7 +77,13 @@ def test_collect_evidence_summary(tmp_path):
     assert "mean_psnr_masked_db = 25.0000" in summary
     assert "mean_psnr_masked_zero_db = 12.0000" in summary
     assert "plc_gain_masked_db = 13.0000" in summary
+    # category PLC section uses the category evaluator's artifact names
+    assert "plc_category [low]:" in summary
+    assert "plc_gain_masked_db = 9.5000" in summary
+    assert "plc_category [medium]:" in summary
     # artifacts copied
     assert (out / "eval_all_vs_backbone_rawPSNR_latency.json").exists()
     assert (out / "sweep_summary.csv").exists()
     assert (out / "plc_uniform_eval_summary.json").exists()
+    assert (out / "plc_category_eval_cat_summary.json").exists()
+    assert (out / "plc_category_eval_metrics_low.csv").exists()

@@ -113,6 +113,26 @@ class TestProposedEvaluator:
             log=lambda *a: None)
         assert len(rows) == 1
         assert rows[0]["books"] == 2 and rows[0]["embed"] == 16
+        assert rows[0]["checkpoint"] == "best.msgpack"
+
+    def test_run_missing_best_falls_back_to_last(self, tmp_path, corpus,
+                                                 codec_params):
+        # an interrupted run can lose the queued best.msgpack write; the
+        # evaluator must keep the grid point via last.msgpack and label it
+        sweep = tmp_path / "sweep"
+        run = sweep / "rvqB2_K16"
+        os.makedirs(run)
+        ck.save_checkpoint(str(run / "last.msgpack"), codec_params.head, 1, {})
+        with open(run / "meta.json", "w") as f:
+            json.dump({"rvq_books": 2, "rvq_embed": 16}, f)
+        backbones = {"audio": codec_params.audio_dac,
+                     "tactile": codec_params.tactile_dac}
+        rows = proposed.eval_proposed_runs(
+            str(sweep), CFG, backbones, corpus, peak_global=1.0, ecfg=ECFG,
+            latency_map={"rvqB2_K16": {"enc_ms": 0.0, "dec_ms": 0.0}},
+            log=lambda *a: None)
+        assert len(rows) == 1
+        assert rows[0]["checkpoint"] == "last.msgpack"
 
 
 class TestBackboneBaselineEvaluator:
