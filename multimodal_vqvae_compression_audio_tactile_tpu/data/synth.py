@@ -114,12 +114,10 @@ def synth_pair(rng: np.random.Generator, dur_sec: float = 2.0,
     # ---- shared excitation on a common 3 kHz grid, then per-SR resample-free
     # re-render: impacts are re-drawn at each SR from the SAME event list so
     # both modalities see identical contact timing.
-    n_events_grid = []
     T_t = int(dur_sec * sr_tact)
     taps = rng.poisson(max(cls["taps"] * dur_sec, 0.5))
     tap_t = rng.uniform(0, dur_sec, size=taps)
     tap_a = rng.uniform(0.4, 1.0, size=taps) * rng.choice([-1, 1], size=taps)
-    del n_events_grid
 
     def impulse(sr: int, T: int) -> np.ndarray:
         tr = np.zeros(T)

@@ -68,10 +68,19 @@ def _adamw_mask(head: dict) -> dict:
     return mask
 
 
-def make_optimizer(head: dict, tcfg: TrainConfig, steps_per_epoch: int
+def make_optimizer(head: dict, tcfg: TrainConfig, steps_per_epoch: int,
+                   sched_offset_steps: int = 0
                    ) -> optax.GradientTransformation:
     schedule = cosine_epoch_lr(tcfg.lr, tcfg.epochs, tcfg.lr_min_frac,
                                steps_per_epoch)
+    if sched_offset_steps:
+        # resume: optax's schedule count lives in the freshly-init'd opt
+        # state (starts at 0), not TrainState.step — shift the schedule to
+        # its true position so a run interrupted late in the cosine doesn't
+        # restart at full base LR (same recipe as pretrain_backbone)
+        base_schedule = schedule
+        schedule = lambda step: base_schedule(  # noqa: E731
+            step + sched_offset_steps)
     tx = optax.chain(
         optax.clip_by_global_norm(tcfg.grad_clip),
         optax.adamw(learning_rate=schedule, weight_decay=tcfg.weight_decay),
@@ -277,7 +286,8 @@ def train_codec(
             steps_per_epoch = max(1, rows_tr.shape[0] // tcfg.batch)
     elif steps_per_epoch is None:
         steps_per_epoch = max(1, sum(1 for _ in train_batches(0)))
-    tx = make_optimizer(head, tcfg, steps_per_epoch)
+    tx = make_optimizer(head, tcfg, steps_per_epoch,
+                        sched_offset_steps=(start_epoch - 1) * steps_per_epoch)
     state = TrainState(head, tx.init(head), jnp.zeros((), jnp.int32))
     if use_scan:
         cache = jax.device_put(cache)  # commit once (no-op if already resident)

@@ -281,6 +281,15 @@ def pretrain_backbone(
 
     if gan is not None:
         d_params = gan_mod.disc_init(jax.random.key(seed + 1), gan)
+        if resume_from is not None:
+            # resume the adversary too: a trained generator facing a fresh
+            # random discriminator spends many epochs on meaningless adv/FM
+            # losses (disc_last.msgpack is written alongside last.msgpack)
+            d_path = os.path.join(os.path.dirname(resume_from),
+                                  "disc_last.msgpack")
+            if os.path.exists(d_path):
+                d_params, _, _ = ckpt.load_checkpoint(d_path, d_params)
+                log(f"[pretrain] resumed discriminator from {d_path}")
         tx_d = optax.apply_if_finite(
             optax.chain(optax.clip_by_global_norm(tcfg.grad_clip),
                         optax.adamw(gan.disc_lr, b1=gan.disc_b1,
@@ -296,10 +305,23 @@ def pretrain_backbone(
             return lambda st, x, _nq: (lambda r: (r[0], r[1][0]))(
                 fn(st, x, nq_rng))
     else:
+        counts0 = jnp.zeros((cfg.n_codebooks, cfg.codebook_size), jnp.float32)
+        if resume_from is not None:
+            # all-zero counts re-trigger the reinit's first-step "adopt batch
+            # stats" branch, which would reseed every trained code the first
+            # batch misses. Load the persisted tracker; for pre-tracker
+            # checkpoints warm-start high so reseeding re-arms only after the
+            # EMA decays to true usage (~hundreds of steps)
+            c_path = os.path.join(os.path.dirname(resume_from),
+                                  "vq_counts.msgpack")
+            if os.path.exists(c_path):
+                counts0, _, _ = ckpt.load_checkpoint(c_path, counts0)
+                log(f"[pretrain] resumed VQ usage tracker from {c_path}")
+            else:
+                counts0 = counts0 + 100.0
         state = PretrainState(
             params, tx.init(params), jnp.zeros((), jnp.int32),
-            vq_counts=jnp.zeros((cfg.n_codebooks, cfg.codebook_size),
-                                jnp.float32))
+            vq_counts=counts0)
         base_step, eval_fn = make_pretrain_step(cfg, tcfg, tx)
 
         def select_step(ep: int):
@@ -382,6 +404,14 @@ def pretrain_backbone(
                 # async: the ~300 MB backbone pull overlaps the next epoch
                 acp.save(os.path.join(out_dir, "last.msgpack"),
                          state.params, ep, hist)
+                if gan is None and state.vq_counts is not None:
+                    # tiny [n_books, K] tracker; resuming without it would
+                    # reseed trained codes (see resume path above)
+                    acp.save(os.path.join(out_dir, "vq_counts.msgpack"),
+                             state.vq_counts, ep, {})
+                if gan is not None:
+                    acp.save(os.path.join(out_dir, "disc_last.msgpack"),
+                             state.d_params, ep, {})
             if v < best_val:
                 best_val = v
                 best_epoch = ep
@@ -392,9 +422,6 @@ def pretrain_backbone(
         if best_params is not None:
             acp.save(os.path.join(out_dir, "best.msgpack"),
                      best_params, best_epoch, hist)
-        if gan is not None:
-            acp.save(os.path.join(out_dir, "disc_last.msgpack"),
-                     state.d_params, tcfg.epochs, {})
     finally:
         # queued writes survive an epoch raising (writer drained)
         acp.close()

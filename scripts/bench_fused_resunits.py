@@ -46,13 +46,17 @@ def main() -> None:
     from multimodal_vqvae_compression_audio_tactile_tpu.models import dac
 
     report = {"backend": jax.default_backend()}
-    for batch in (1, 32):
-        report[f"b{batch}_xla"] = bench(off, params, batch)
-        report[f"b{batch}_fused"] = bench(base, params, batch)
-    # batch-1 legs: the production-gated default (XLA below batch 8), the
-    # plain kernel forced on (old crossover measurement), and the b1-tuned
-    # variant (64-lane halo, 8k tiles)
+    # At batch 1 the production default (gate at 8) takes the XLA path, so
+    # b1_xla IS the production b1 leg. The b1-tuned-kernel leg must be traced
+    # while the gate is still 8 (gate 1 would classify batch 1 as "big" and
+    # take the plain kernel instead), and the forced-plain leg must lower the
+    # gate BEFORE its first trace — the jit cache keys on (cfg, shapes), so
+    # mutating the gate after a same-cfg same-batch compile re-times the
+    # cached path under the wrong label.
+    report["b1_xla"] = bench(off, params, 1)
+    report["b32_xla"] = bench(off, params, 32)
     report["b1_fused_b1tuned"] = bench(b1tuned, params, 1)
+    report["b32_fused"] = bench(base, params, 32)
     dac._FUSED_MIN_BATCH = 1
     report["b1_fused_forced_plain"] = bench(base, params, 1)
     print(json.dumps(report, indent=2))

@@ -229,3 +229,9 @@ class TestSweepSkipAndPretrainResume:
         # epochs 3 and 4 only (+1 resume line)
         assert sum("epoch 003" in s or "epoch 004" in s for s in logs2) == 2
         assert not any("epoch 001" in s for s in logs2)
+        # the VQ usage tracker is persisted and restored: without it, resume
+        # re-triggers the dead-code reinit's first-step adopt-batch branch,
+        # reseeding every trained code the first batch misses
+        assert os.path.exists(os.path.join(out, "vq_counts.msgpack"))
+        assert any("resumed VQ usage tracker" in s for s in logs2)
+        assert np.isfinite(hist["val"][-1])

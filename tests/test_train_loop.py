@@ -275,3 +275,31 @@ class TestCheckpoint:
         # compatible leaves were taken from the checkpoint
         np.testing.assert_array_equal(np.asarray(restored["scale"]),
                                       np.asarray(params["scale"]))
+
+
+class TestResumeScheduleOffset:
+    def test_make_optimizer_offset_resumes_decayed_lr(self):
+        """A resumed codec run must continue the cosine where it left off:
+        the schedule count lives in the fresh optimizer state (starts at 0),
+        so make_optimizer shifts the schedule by the completed steps. With
+        constant grads Adam's first bias-corrected update magnitude ~= lr."""
+        from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+            loop as tl)
+        head = allpred_ar.head_init(jax.random.key(0), CFG)
+        tcfg = TrainConfig(epochs=10, batch=2, lr=1e-3, lr_min_frac=0.1,
+                           grad_clip=1e9, weight_decay=0.0)
+        grads = jax.tree.map(jnp.ones_like, head)
+
+        def first_update_scale(sched_offset):
+            tx = tl.make_optimizer(head, tcfg, steps_per_epoch=1,
+                                   sched_offset_steps=sched_offset)
+            upd, _ = tx.update(grads, tx.init(head), head)
+            # any AdamW-driven leaf; books/counts are EMA-only (masked out)
+            return float(jnp.max(jnp.abs(upd["proj_down"]["w"])))
+
+        fresh = first_update_scale(0)           # lr(epoch 0) = base lr
+        resumed = first_update_scale(9)         # lr(epoch 9), near eta_min
+        assert fresh == pytest.approx(1e-3, rel=0.05)
+        expected = 1e-4 + 0.5 * (1e-3 - 1e-4) * (
+            1.0 + np.cos(np.pi * 9 / 10))
+        assert resumed == pytest.approx(expected, rel=0.05)
