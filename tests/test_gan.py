@@ -177,3 +177,35 @@ class TestGanPretrainStep:
         changed = jax.tree.map(lambda a, b: bool(jnp.any(a != b)),
                                d0, state.d_params)
         assert any(jax.tree.leaves(changed))
+
+
+class TestGanResume:
+    def test_resume_restores_discriminator(self, tmp_path):
+        """Resuming a GAN pretrain run must reload the adversary: a trained
+        generator against a fresh random discriminator wastes epochs on
+        meaningless adv/FM losses. disc_last.msgpack is written at every
+        save point and read back by resume_from."""
+        from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+            pretrain_backbone as pb)
+
+        cfg = DacConfig().tiny()
+        rng = np.random.default_rng(0)
+        batches = [(0.3 * rng.standard_normal((2, 1, 1920))).astype(np.float32)
+                   for _ in range(2)]
+        out = str(tmp_path / "gan_bb")
+        tcfg = TrainConfig(epochs=2, batch=2, seg_sec=1920 / 24000)
+        gcfg = GCFG
+        pb.pretrain_backbone(cfg, tcfg, lambda ep: iter(batches),
+                             lambda: iter(batches[:1]), out_dir=out,
+                             steps_per_epoch=2, gan=gcfg,
+                             log=lambda *_: None)
+        import os
+        assert os.path.exists(os.path.join(out, "disc_last.msgpack"))
+
+        logs = []
+        tcfg3 = TrainConfig(epochs=3, batch=2, seg_sec=1920 / 24000)
+        pb.pretrain_backbone(
+            cfg, tcfg3, lambda ep: iter(batches), lambda: iter(batches[:1]),
+            out_dir=out, steps_per_epoch=2, gan=gcfg,
+            resume_from=os.path.join(out, "last.msgpack"), log=logs.append)
+        assert any("resumed discriminator" in s for s in logs), logs
