@@ -313,6 +313,10 @@ def main() -> None:
             "config": {
                 "eval_sr": ecfg.eval_sr, "peak_global_raw": peak_global,
                 "n_pairs": len(eval_pairs), "synthetic_corpus": True,
+                # the key "dac_24khz" keeps the reference JSON schema, but
+                # the rows are OUR pretrained DAC-class backbone (descript
+                # weights require network download)
+                "dac_24khz_backbone": "own-pretrained",
             },
         }
         with open(os.path.join(

@@ -129,7 +129,8 @@ def main() -> None:
         "proposed_runs": proposed_rows,
         "vc_pwq_runs": vc_rows,
         "config": {"eval_sr": ecfg.eval_sr, "peak_global_raw": peak_global,
-                   "n_pairs": len(eval_pairs), "synthetic_corpus": True},
+                   "n_pairs": len(eval_pairs), "synthetic_corpus": True,
+                   "dac_24khz_backbone": "own-pretrained"},
     }
     with open(os.path.join(out_dir,
                            "eval_all_vs_backbone_rawPSNR_latency.json"), "w") as f:

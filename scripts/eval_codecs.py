@@ -76,6 +76,9 @@ def main() -> None:
             "sweep_root": args.sweep_root,
             "peak_global_raw": peak_global,
             "vc_buffer_delay_ms": ecfg.vc_buffer_ms,
+            # "dac_24khz" rows keep the reference schema but evaluate OUR
+            # pretrained DAC-class backbone (no descript weight download)
+            "dac_24khz_backbone": "own-pretrained",
         },
     }
     out_json = os.path.join(out_dir, "eval_all_vs_backbone_rawPSNR_latency.json")
