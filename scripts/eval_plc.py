@@ -22,6 +22,9 @@ def main() -> None:
     ap.add_argument("--backbone")
     ap.add_argument("--checkpoint", default="best.msgpack")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--max-files", type=int, default=0,
+                    help="evaluate an evenly-spaced subset of N pairs "
+                         "(0 = all; for time-bounded eval runs)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     _common.setup_jax(cpu=args.cpu)
@@ -48,6 +51,12 @@ def main() -> None:
     params = allpred_ar.CodecParams(backbones["audio"], backbones["tactile"], head)
 
     pairs = pair_stems(args.audio_dir, args.tact_dir)
+    if args.max_files and len(pairs) > args.max_files:
+        # evenly spaced subset keeps material-class diversity (stems sort by
+        # class); per-file mask seeds stay deterministic given the subset
+        import numpy as np
+        idx = np.linspace(0, len(pairs) - 1, args.max_files).astype(int)
+        pairs = [pairs[i] for i in idx]
     if args.mode == "uniform":
         eval_plc_uniform(params, cfg, pairs, args.run_dir, PLCConfig(),
                          seed=args.seed)
