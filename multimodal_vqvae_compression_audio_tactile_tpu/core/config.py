@@ -184,6 +184,18 @@ class LossConfig:
     mel_hop: int = 128
     mel_mels: int = 64
     eps: float = 1e-7
+    # Beyond-reference PLC-only terms (both 0.0 = exact reference loss,
+    # Training/compare_dacvsproposal_3.py:389-401). The reference trains PLC
+    # through decode with the full-sequence codec loss only, which restores
+    # spectral content but not sample-aligned waveforms in the lost spans
+    # (round-2 eval: masked time-domain PSNR tied the zero-fill floor).
+    # w_plc_latent: relative L2 between the predicted and true tactile latents
+    # on masked tokens — the decoder is deterministic, so matching the latent
+    # is the direct route to phase-aligned reconstruction.
+    # w_plc_masked: power-normalized time-domain MSE on the masked sample
+    # spans — 10^(-SNR_masked/10), i.e. the eval metric itself as a loss.
+    w_plc_latent: float = 0.0
+    w_plc_masked: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -270,6 +282,12 @@ class PLCConfig:
     packet_tok: int = 2
     packet_loss_prob: float = 0.5
     epochs: int = 50
+    # Beyond-reference: add a learned mask-token embedding at lost latent
+    # positions so the predictor can distinguish "token lost" from "token is
+    # legitimately zero" (the reference feeds plain zeroed latents,
+    # PLC/PLC1.py:383-385). The parameter always exists in the head (zeros =
+    # no-op); this flag controls whether the forward applies it.
+    mask_embed: bool = False
     cat_probs: Tuple[float, float, float] = (0.52, 0.32, 0.16)  # low/medium/high
     cat_burst_ms: Tuple[Tuple[float, float], ...] = (
         (20.0, 120.0), (120.0, 320.0), (320.0, 1000.0))

@@ -48,7 +48,8 @@ def eval_plc_categories(
                 return masks.make_category_token_loss_mask(
                     rng, 1, t_lat, tps, pcfg, category=cat)[0]
 
-            row = eval_plc_file(params, cfg, ap, tp, mask_fn, peak_global, ecfg)
+            row = eval_plc_file(params, cfg, ap, tp, mask_fn, peak_global, ecfg,
+                                mask_embed=pcfg.mask_embed)
             rows.append(row)
         artifacts.write_csv(
             os.path.join(out_dir, f"eval_metrics_{cat}.csv"), rows, CSV_FIELDS)

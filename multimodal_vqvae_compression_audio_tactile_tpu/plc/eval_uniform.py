@@ -49,9 +49,11 @@ def eval_plc_file(
     peak_global: float,
     ecfg: EvalConfig = EvalConfig(),
     return_signals: bool = False,
+    mask_embed: bool = False,
 ) -> dict:
     """One file through the PLC model with a deterministic mask; returns CSV row
-    (plus aligned signals and the mask when return_signals=True, for pass 2)."""
+    (plus aligned signals and the mask when return_signals=True, for pass 2).
+    ``mask_embed`` must match the run's training condition (meta.json)."""
     sr24 = cfg.dac.sample_rate
     a_raw, sr_a = load_wav_mono(a_path)
     t_raw, sr_t = load_wav_mono(t_path)
@@ -68,7 +70,7 @@ def eval_plc_file(
     latent_mask = mask_fn(t_lat)                        # [T_lat] bool
     out = plc_model.forward_step(
         params, cfg, jnp.asarray(a24[None]), jnp.asarray(t24n[None]),
-        jnp.asarray(latent_mask[None]))
+        jnp.asarray(latent_mask[None]), mask_embed=mask_embed)
     y_norm = np.asarray(out.y_hat)[0, 0]
     out0 = plc_model.forward_zero_fill(
         params, cfg, jnp.asarray(a24[None]), jnp.asarray(t24n[None]),
@@ -145,7 +147,8 @@ def eval_plc_uniform(
             return masks.make_token_loss_mask(
                 rng, 1, t_lat, pcfg.packet_tok, pcfg.packet_loss_prob)[0]
 
-        row = eval_plc_file(params, cfg, ap, tp, mask_fn, peak_global, ecfg)
+        row = eval_plc_file(params, cfg, ap, tp, mask_fn, peak_global, ecfg,
+                            mask_embed=pcfg.mask_embed)
         rows.append(row)
         log(f"[plc-eval {idx}/{len(pairs)}] {stem} "
             f"PSNR {row['psnr_global_db']:.2f} dB ST-SIM {row['stsim_global']:.4f}")
@@ -192,7 +195,8 @@ def eval_plc_uniform(
                     rng, 1, t_lat, pcfg.packet_tok, pcfg.packet_loss_prob)[0]
 
             row = eval_plc_file(params, cfg, ap, tp, mask_fn, peak_global, ecfg,
-                                return_signals=True)
+                                return_signals=True,
+                                mask_embed=pcfg.mask_embed)
             plot_plc_example(out_dir, stem, row["_ref"], row["_est"],
                              row["_mask"], sr=ecfg.eval_sr)
     return summary

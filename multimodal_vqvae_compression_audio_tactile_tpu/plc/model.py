@@ -27,11 +27,18 @@ from ..nn.layers import cross_predictor_apply, cross_predictor_init, token_norm_
 def plc_head_init(key: jax.Array, cfg: CodecConfig) -> dict:
     """Trainable PLC head: predictor (+ tokennorm kept for checkpoint parity with
     the reference, which instantiates but does not use it in the forward —
-    PLC/PLC1.py:374-375)."""
+    PLC/PLC1.py:374-375).
+
+    ``mask_embed`` (beyond-reference, PLCConfig.mask_embed) is ALWAYS present
+    (zeros) so checkpoint templates are shape-stable whether or not the flag
+    was on; with the flag off the forward never reads it and its gradient is
+    zero, so it stays exactly zero.
+    """
     kp, _ = jax.random.split(key)
     return {
         "predict": cross_predictor_init(kp, cfg.predictor),
         "tokennorm": token_norm_init(cfg.predictor.dim),
+        "mask_embed": jnp.zeros((cfg.predictor.dim,), jnp.float32),
     }
 
 
@@ -54,9 +61,24 @@ class PLCOut(NamedTuple):
     y_hat: jax.Array
     tgt: jax.Array
     latent_mask: jax.Array  # [B, 1, T_lat]
+    # train-time extras for the beyond-reference loss terms
+    # (LossConfig.w_plc_latent); None in the zero-fill baseline
+    z_pred: Optional[jax.Array] = None   # predictor output [B, C, T_lat]
+    z_tgt: Optional[jax.Array] = None    # true tactile latents [B, C, T_lat]
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+def _receiver_view(head: dict, zt_full: jax.Array, m: jax.Array,
+                   mask_embed: bool) -> jax.Array:
+    """Zero lost tokens (reference receiver view, PLC/PLC1.py:383-385); with
+    PLCConfig.mask_embed, add the learned mask token there instead so the
+    predictor can tell "lost" from "zero"."""
+    zt_in = zt_full * (~m)
+    if mask_embed:
+        zt_in = zt_in + head["mask_embed"][None, :, None] * m
+    return zt_in
+
+
+@partial(jax.jit, static_argnames=("cfg", "mask_embed"))
 def forward_step(
     params: allpred_ar.CodecParams,
     cfg: CodecConfig,
@@ -64,6 +86,7 @@ def forward_step(
     tc: jax.Array,
     mask_tokens: jax.Array,
     dropout_rng: Optional[jax.Array] = None,
+    mask_embed: bool = False,
 ) -> PLCOut:
     """a, tc: [B, 1, T] waveforms; mask_tokens: [B, T_lat] bool (True = lost).
 
@@ -73,20 +96,21 @@ def forward_step(
     B, C, T_lat = zt_full.shape
     m = mask_tokens[:, None, :]                        # [B, 1, T_lat]
 
-    zt_in = zt_full * (~m)                             # receiver view
+    zt_in = _receiver_view(params.head, zt_full, m, mask_embed)
     qa_res = _interp_latent(qa, T_lat)
     z_pred = cross_predictor_apply(
         params.head["predict"], zt_in, qa_res, cfg.predictor,
         dropout_rng=dropout_rng)
-    z_filled = jnp.where(m, z_pred, zt_in)
+    z_filled = jnp.where(m, z_pred, zt_full * (~m))
     y_hat = dac.decode(params.tactile_dac, cfg.dac, z_filled)
 
     T = min(y_hat.shape[-1], tc.shape[-1])
     fin = lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
-    return PLCOut(fin(y_hat[..., :T]), fin(tc[..., :T]), m)
+    return PLCOut(fin(y_hat[..., :T]), fin(tc[..., :T]), m,
+                  z_pred=z_pred, z_tgt=zt_full)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "mask_embed"))
 def forward_step_latents(
     head: dict,
     tactile_dac: dict,
@@ -96,19 +120,21 @@ def forward_step_latents(
     tc: jax.Array,
     mask_tokens: jax.Array,
     dropout_rng: Optional[jax.Array] = None,
+    mask_embed: bool = False,
 ) -> PLCOut:
     """forward_step from precomputed frozen-backbone latents
     (train/latent_cache.py): skips A_ENC/A_QUANT/T_ENC per step."""
     m = mask_tokens[:, None, :]
-    zt_in = zt_full * (~m)
+    zt_in = _receiver_view(head, zt_full, m, mask_embed)
     qa_res = _interp_latent(qa, zt_full.shape[-1])
     z_pred = cross_predictor_apply(
         head["predict"], zt_in, qa_res, cfg.predictor, dropout_rng=dropout_rng)
-    z_filled = jnp.where(m, z_pred, zt_in)
+    z_filled = jnp.where(m, z_pred, zt_full * (~m))
     y_hat = dac.decode(tactile_dac, cfg.dac, z_filled)
     T = min(y_hat.shape[-1], tc.shape[-1])
     fin = lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
-    return PLCOut(fin(y_hat[..., :T]), fin(tc[..., :T]), m)
+    return PLCOut(fin(y_hat[..., :T]), fin(tc[..., :T]), m,
+                  z_pred=z_pred, z_tgt=zt_full)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -133,22 +159,24 @@ def forward_zero_fill(
     return PLCOut(fin(y0[..., :T]), fin(tc[..., :T]), m)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "mask_embed"))
 def conceal(
     params: allpred_ar.CodecParams,
     cfg: CodecConfig,
     a: jax.Array,
     zt_received: jax.Array,
     mask_tokens: jax.Array,
+    mask_embed: bool = False,
 ) -> jax.Array:
     """Streaming inference: conceal losses in an already-encoded tactile latent
-    stream (the receiver never re-encodes; lost tokens arrive zeroed)."""
+    stream (the receiver never re-encodes; lost tokens arrive zeroed).
+    ``mask_embed`` must match the training condition (meta.json's value)."""
     za = dac.encode(params.audio_dac, cfg.dac, a)
     qa, *_ = dac.quantize(params.audio_dac["quantizer"], za)
     m = mask_tokens[:, None, :]
-    zt_in = zt_received * (~m)
+    zt_in = _receiver_view(params.head, zt_received, m, mask_embed)
     qa_res = _interp_latent(qa, zt_in.shape[-1])
     z_pred = cross_predictor_apply(params.head["predict"], zt_in, qa_res,
                                    cfg.predictor)
-    z_filled = jnp.where(m, z_pred, zt_in)
+    z_filled = jnp.where(m, z_pred, zt_received * (~m))
     return dac.decode(params.tactile_dac, cfg.dac, z_filled)

@@ -35,26 +35,100 @@ class PLCTrainState(NamedTuple):
     step: jax.Array
 
 
+def plc_config_from_meta(run_dir: str,
+                         default: PLCConfig = PLCConfig()) -> PLCConfig:
+    """Reconstruct the training-time PLCConfig from a run's meta.json.
+
+    Evaluators must reproduce the training condition (packet shape, loss
+    probabilities, mask_embed); the trainer records it via write_meta below.
+    Missing file or keys (older runs) fall back to ``default``'s fields.
+    """
+    import dataclasses
+    import json
+
+    p = os.path.join(run_dir, "meta.json")
+    if not os.path.exists(p):
+        return default
+    with open(p) as f:
+        meta = json.load(f)
+    d = meta.get("plc", {})
+    names = {f.name for f in dataclasses.fields(PLCConfig)}
+    kw = {k: v for k, v in d.items() if k in names}
+    if "cat_probs" in kw:
+        kw["cat_probs"] = tuple(kw["cat_probs"])
+    for k in ("cat_burst_ms", "cat_n_bursts"):
+        if k in kw:
+            kw[k] = tuple(tuple(x) for x in kw[k])
+    return dataclasses.replace(default, **kw)
+
+
+def masked_latent_rel_mse(z_pred: jax.Array, z_tgt: jax.Array,
+                          m: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Relative L2 between predicted and true latents on masked tokens.
+
+    Beyond-reference (LossConfig.w_plc_latent): the decoder is deterministic,
+    so driving ``z_pred -> z_tgt`` at lost positions is the direct route to
+    sample-aligned concealment; normalizing by the masked latents' own power
+    makes the weight scale-free.
+    """
+    d = jnp.sum(((z_pred - z_tgt) ** 2) * m)
+    p = jnp.sum((z_tgt ** 2) * m)
+    return d / jnp.maximum(p, eps)
+
+
+def masked_time_rel_mse(y_hat: jax.Array, tgt: jax.Array, m: jax.Array,
+                        hop: int, eps: float = 1e-8) -> jax.Array:
+    """Power-normalized time-domain MSE over the masked sample spans.
+
+    Beyond-reference (LossConfig.w_plc_masked): equals 10^(-SNR_masked/10) on
+    the token->sample mask the evaluator scores (plc/eval_uniform.py), i.e.
+    the masked-region PSNR objective itself. Token t covers samples
+    [t*hop, (t+1)*hop) (dac decoder upsamples by exactly ``hop``).
+    """
+    sm = jnp.repeat(m, hop, axis=-1)[..., : y_hat.shape[-1]]
+    d = jnp.sum(((y_hat - tgt) ** 2) * sm)
+    p = jnp.sum((tgt ** 2) * sm)
+    return d / jnp.maximum(p, eps)
+
+
 def make_plc_train_step(cfg: CodecConfig, tcfg: TrainConfig,
-                        tx: optax.GradientTransformation):
+                        tx: optax.GradientTransformation,
+                        mask_embed: bool = False):
     def loss_fn(head, backbones, a, tc, mask, rng):
+        from ..data import wire
+        # int16 wire batches (data/wire.py); float (and cached-latent) no-op
+        a = tuple(a) if isinstance(a, tuple) else wire.decode_wave(a)
+        tc = wire.decode_wave(tc)
         if isinstance(a, tuple):
             # cached-latent path (train/latent_cache.py): a = (qa, zt)
             qa, zt = a
             out = plc_model.forward_step_latents(
                 head, backbones["tactile"], cfg, qa, zt, tc, mask,
-                dropout_rng=rng)
+                dropout_rng=rng, mask_embed=mask_embed)
         else:
             params = allpred_ar.CodecParams(backbones["audio"],
                                             backbones["tactile"], head)
             out = plc_model.forward_step(params, cfg, a, tc, mask,
-                                         dropout_rng=rng)
+                                         dropout_rng=rng,
+                                         mask_embed=mask_embed)
         total, parts = codec_loss(out.y_hat, out.tgt,
                                   w_wav_l1=tcfg.loss.w_wav_l1,
                                   w_stft=tcfg.loss.w_stft,
                                   w_melcos=tcfg.loss.w_melcos,
                                   sr=tcfg.target_sr)
+        # both masked terms are always MEASURED (cheap; invisibility is how
+        # the round-1 VQ collapse went unnoticed) and applied per their weight
+        lw = tcfg.loss
+        lat = masked_latent_rel_mse(out.z_pred, out.z_tgt, out.latent_mask)
+        tmse = masked_time_rel_mse(out.y_hat, out.tgt, out.latent_mask,
+                                   cfg.dac.hop)
+        total = (total + lw.w_plc_latent * lat + lw.w_plc_masked * tmse)
+        parts = {**parts, "total": total, "lat": lat, "tmse": tmse}
         return total, parts
+
+    def _pack(parts):
+        # [total, masked-latent relMSE, masked-time relMSE(=10^(-SNR/10))]
+        return jnp.stack([parts["total"], parts["lat"], parts["tmse"]])
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: PLCTrainState, backbones, a, tc, mask, base_rng):
@@ -64,14 +138,14 @@ def make_plc_train_step(cfg: CodecConfig, tcfg: TrainConfig,
             state.head, backbones, a, tc, mask, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.head)
         head = optax.apply_updates(state.head, updates)
-        # scalar loss only: device->host fetches over a tunneled TPU are slow,
-        # so each epoch makes exactly one stacked fetch
-        return PLCTrainState(head, opt_state, state.step + 1), parts["total"]
+        # packed metric vector: device->host fetches over a tunneled TPU are
+        # slow, so each epoch makes exactly one stacked fetch
+        return PLCTrainState(head, opt_state, state.step + 1), _pack(parts)
 
     @jax.jit
     def eval_step(head, backbones, a, tc, mask):
         _, parts = loss_fn(head, backbones, a, tc, mask, None)
-        return parts["total"]
+        return _pack(parts)
 
     return train_step, eval_step
 
@@ -98,23 +172,44 @@ def train_plc(
     mesh=None,
     steps_per_epoch: Optional[int] = None,
     save_every: int = 1,
+    resume: bool = False,
     log: Callable[[str], None] = print,
 ) -> dict:
-    """Train a PLC head; writes last/best/hist/meta with the reference contract."""
+    """Train a PLC head; writes last/best/hist/meta with the reference contract.
+
+    ``resume=True`` continues from ``out_dir/last.msgpack`` if present (the
+    LR schedule fast-forwards to its true step position; same recipe as
+    train/loop.py::make_optimizer)."""
     assert mode in ("uniform", "category")
     os.makedirs(out_dir, exist_ok=True)
     head = plc_model.plc_head_init(jax.random.key(seed), cfg)
     if steps_per_epoch is None:
         steps_per_epoch = max(1, sum(1 for _ in train_batches(0)))
 
+    start_epoch = 1
+    resumed_hist = None
+    last_path = os.path.join(out_dir, "last.msgpack")
+    if resume and os.path.exists(last_path):
+        head, last_epoch, resumed_hist = ckpt.load_checkpoint_tolerant(
+            last_path, head)
+        start_epoch = last_epoch + 1
+        log(f"[plc:{mode}] resume from {last_path} at epoch {last_epoch}")
+
     schedule = cosine_epoch_lr(tcfg.lr, tcfg.epochs, tcfg.lr_min_frac,
                                steps_per_epoch)
+    if start_epoch > 1:
+        # optax's schedule count restarts at 0 with the fresh optimizer
+        # state: shift it to the true position
+        sched_off = (start_epoch - 1) * steps_per_epoch
+        base_schedule = schedule
+        schedule = lambda step: base_schedule(step + sched_off)  # noqa: E731
     tx = optax.apply_if_finite(
         optax.chain(optax.clip_by_global_norm(tcfg.grad_clip),
                     optax.adamw(schedule, weight_decay=tcfg.weight_decay)),
         max_consecutive_errors=10**6)
     state = PLCTrainState(head, tx.init(head), jnp.zeros((), jnp.int32))
-    train_step, eval_step = make_plc_train_step(cfg, tcfg, tx)
+    train_step, eval_step = make_plc_train_step(
+        cfg, tcfg, tx, mask_embed=pcfg.mask_embed)
 
     if mesh is None and len(jax.devices()) > 1 and \
             tcfg.batch % len(jax.devices()) == 0:
@@ -134,13 +229,19 @@ def train_plc(
     best_val = float("inf")
     best_head = None
     best_epoch = 0
-    hist = {"train": [], "val": []}
+    hist = {"train": [], "val": [], "lat": [], "tmse": [],
+            "val_masked_snr_db": []}
+    if resumed_hist:
+        hist.update({k: list(v) for k, v in resumed_hist.items()
+                     if k in hist})
+        if hist["val"]:
+            best_val = min(hist["val"])
     mask_rng = np.random.default_rng(seed)
 
     base_rng = jax.random.key(seed + 1)
     acp = ckpt.AsyncCheckpointer()
     try:
-        for ep in range(1, tcfg.epochs + 1):
+        for ep in range(start_epoch, tcfg.epochs + 1):
             t0 = time.time()
             step_parts = []  # pulled to host once per epoch (tunnel-friendly)
 
@@ -163,15 +264,23 @@ def train_plc(
                 mask = _make_mask(val_rng, bsz, t_lat, pcfg, mode, tps)
                 a, tc, mask = put((a, tc, mask))
                 val_parts.append(eval_step(state.head, backbones, a, tc, mask))
-            # ONE device->host fetch per epoch: train+val means share the transfer
+            # ONE device->host fetch per epoch: train+val [total, lat, tmse]
+            # metric vectors ride the same transfer
             packed = np.asarray(jnp.stack([
-                jnp.stack(step_parts).mean() if step_parts else jnp.zeros(()),
-                jnp.stack(val_parts).mean() if val_parts else jnp.zeros(())]))
-            hist["train"].append(float(packed[0]))
-            v = float(packed[1])
+                jnp.stack(step_parts).mean(0) if step_parts else jnp.zeros(3),
+                jnp.stack(val_parts).mean(0) if val_parts else jnp.zeros(3)]))
+            hist["train"].append(float(packed[0, 0]))
+            hist["lat"].append(float(packed[0, 1]))
+            hist["tmse"].append(float(packed[0, 2]))
+            v = float(packed[1, 0])
             hist["val"].append(v)
+            # masked-span time-domain SNR implied by the val relative MSE —
+            # the training-time proxy for the evaluator's masked PSNR split
+            msnr = -10.0 * np.log10(max(float(packed[1, 2]), 1e-12))
+            hist["val_masked_snr_db"].append(msnr)
             log(f"[plc:{mode}] epoch {ep:03d} | train {hist['train'][-1]:.4f} | "
-                f"val {v:.4f} | {time.time()-t0:.1f}s")
+                f"val {v:.4f} | lat {hist['lat'][-1]:.3f} | "
+                f"mSNR {msnr:.2f} dB | {time.time()-t0:.1f}s")
 
             # divergence recovery (same rationale as train/pretrain_backbone.py)
             if (best_head is not None and np.isfinite(hist["train"][-1])
@@ -202,6 +311,7 @@ def train_plc(
     artifacts.write_meta(out_dir, {
         "mode": mode,
         "plc": asdict_jsonable(pcfg),
+        "loss": asdict_jsonable(tcfg.loss),  # records w_plc_* training terms
         "tokens_per_sec": tps,
         "epochs": tcfg.epochs,
     })

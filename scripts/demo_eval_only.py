@@ -144,8 +144,12 @@ def main() -> None:
             os.path.join(plc_dir, "best.msgpack"), plc_template)
         plc_params = allpred_ar.CodecParams(bb, bb, plc_head)
         t0 = time.time()
+        from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import (
+            plc_config_from_meta)
         plc_summary = eval_plc_uniform(plc_params, cfg, eval_pairs, plc_dir,
-                                       PLCConfig(), ecfg, seed=args.seed,
+                                       plc_config_from_meta(plc_dir,
+                                                            PLCConfig()),
+                                       ecfg, seed=args.seed,
                                        plot_top_k=4)
         print(f"[eval] PLC in {time.time()-t0:.0f}s", flush=True)
     else:

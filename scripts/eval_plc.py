@@ -40,6 +40,8 @@ def main() -> None:
         eval_plc_categories)
     from multimodal_vqvae_compression_audio_tactile_tpu.plc.eval_uniform import (
         eval_plc_uniform)
+    from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import (
+        plc_config_from_meta)
     from multimodal_vqvae_compression_audio_tactile_tpu.train import (
         checkpoint as ckpt)
 
@@ -49,6 +51,8 @@ def main() -> None:
     head, _, _ = ckpt.load_checkpoint_tolerant(
         os.path.join(args.run_dir, args.checkpoint), template)
     params = allpred_ar.CodecParams(backbones["audio"], backbones["tactile"], head)
+    # reproduce the training condition (packet shape, mask_embed) from meta
+    pcfg = plc_config_from_meta(args.run_dir, PLCConfig())
 
     pairs = pair_stems(args.audio_dir, args.tact_dir)
     if args.max_files and len(pairs) > args.max_files:
@@ -58,10 +62,10 @@ def main() -> None:
         idx = np.linspace(0, len(pairs) - 1, args.max_files).astype(int)
         pairs = [pairs[i] for i in idx]
     if args.mode == "uniform":
-        eval_plc_uniform(params, cfg, pairs, args.run_dir, PLCConfig(),
+        eval_plc_uniform(params, cfg, pairs, args.run_dir, pcfg,
                          seed=args.seed)
     else:
-        eval_plc_categories(params, cfg, pairs, args.run_dir, PLCConfig(),
+        eval_plc_categories(params, cfg, pairs, args.run_dir, pcfg,
                             seed=args.seed)
 
 

@@ -25,12 +25,20 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=6)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--synth", type=int, default=0)
+    # Beyond-reference concealment-quality terms (0 / 0 / off reproduces the
+    # reference training recipe exactly; see core/config.py LossConfig).
+    ap.add_argument("--plc-latent-w", type=float, default=1.0,
+                    help="masked-token latent regression weight")
+    ap.add_argument("--plc-masked-w", type=float, default=0.5,
+                    help="masked-span time-domain relative-MSE weight")
+    ap.add_argument("--no-mask-embed", action="store_true",
+                    help="disable the learned lost-token embedding")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     _common.setup_jax(cpu=args.cpu)
 
     from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
-        CodecConfig, PLCConfig, TrainConfig)
+        CodecConfig, LossConfig, PLCConfig, TrainConfig)
     from multimodal_vqvae_compression_audio_tactile_tpu.data import (
         SegmentDataset, batch_iterator, pair_stems, split_items)
     from multimodal_vqvae_compression_audio_tactile_tpu.data.synth import (
@@ -38,8 +46,10 @@ def main() -> None:
     from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import train_plc
 
     cfg = CodecConfig()
-    tcfg = TrainConfig(epochs=args.epochs, batch=args.batch, seed=args.seed)
-    pcfg = PLCConfig()
+    tcfg = TrainConfig(epochs=args.epochs, batch=args.batch, seed=args.seed,
+                       loss=LossConfig(w_plc_latent=args.plc_latent_w,
+                                       w_plc_masked=args.plc_masked_w))
+    pcfg = PLCConfig(mask_embed=not args.no_mask_embed)
 
     if args.synth:
         pairs = make_synth_corpus(args.out_dir + "/_synth", n_pairs=args.synth,

@@ -145,3 +145,193 @@ class TestPLCModel:
         T = out.y_hat.shape[-1]
         np.testing.assert_allclose(np.asarray(y1[..., :T]), np.asarray(out.y_hat),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestMaskEmbed:
+    """PLCConfig.mask_embed (beyond-reference lost-token embedding)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        key = jax.random.key(0)
+        base = allpred_ar.codec_init(key, CFG)
+        head = plc_model.plc_head_init(jax.random.key(1), CFG)
+        params = allpred_ar.CodecParams(base.audio_dac, base.tactile_dac, head)
+        rng = np.random.default_rng(7)
+        a = jnp.asarray((0.5 * rng.standard_normal((2, 1, 3200))).astype(np.float32))
+        tc = jnp.asarray((0.5 * rng.standard_normal((2, 1, 3200))).astype(np.float32))
+        m = jnp.asarray(masks.make_token_loss_mask(
+            np.random.default_rng(3), 2, 10, 2, 0.5))
+        return params, a, tc, m
+
+    def test_param_always_present_and_zero(self):
+        head = plc_model.plc_head_init(jax.random.key(1), CFG)
+        assert "mask_embed" in head
+        np.testing.assert_array_equal(np.asarray(head["mask_embed"]), 0.0)
+
+    def test_zero_embed_is_noop(self, setup):
+        """With the (initial) all-zero embedding, flag on == flag off — so
+        enabling the feature never changes an untrained head's behavior."""
+        params, a, tc, m = setup
+        y_off = plc_model.forward_step(params, CFG, a, tc, m).y_hat
+        y_on = plc_model.forward_step(params, CFG, a, tc, m,
+                                      mask_embed=True).y_hat
+        np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_trained_embed_changes_masked_prediction_only_when_enabled(
+            self, setup):
+        params, a, tc, m = setup
+        head2 = dict(params.head)
+        head2["mask_embed"] = jnp.full((CFG.predictor.dim,), 0.5, jnp.float32)
+        p2 = allpred_ar.CodecParams(params.audio_dac, params.tactile_dac, head2)
+        y_off = plc_model.forward_step(p2, CFG, a, tc, m).y_hat
+        y_ref = plc_model.forward_step(params, CFG, a, tc, m).y_hat
+        np.testing.assert_allclose(np.asarray(y_off), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-6)  # flag off: unused
+        y_on = plc_model.forward_step(p2, CFG, a, tc, m, mask_embed=True).y_hat
+        assert not np.allclose(np.asarray(y_on), np.asarray(y_ref))
+
+    def test_conceal_matches_forward_with_embed(self, setup):
+        params, a, tc, m = setup
+        head2 = dict(params.head)
+        head2["mask_embed"] = jnp.full((CFG.predictor.dim,), 0.3, jnp.float32)
+        p2 = allpred_ar.CodecParams(params.audio_dac, params.tactile_dac, head2)
+        zt = dac.encode(p2.tactile_dac, CFG.dac, tc)
+        y1 = plc_model.conceal(p2, CFG, a, zt, m, mask_embed=True)
+        out = plc_model.forward_step(p2, CFG, a, tc, m, mask_embed=True)
+        T = out.y_hat.shape[-1]
+        np.testing.assert_allclose(np.asarray(y1[..., :T]),
+                                   np.asarray(out.y_hat),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestPLCLossTerms:
+    """Beyond-reference masked loss terms (LossConfig.w_plc_*)."""
+
+    def test_masked_latent_rel_mse_numpy_parity(self):
+        from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import (
+            masked_latent_rel_mse)
+        rng = np.random.default_rng(0)
+        zp = rng.standard_normal((2, 8, 10)).astype(np.float32)
+        zt = rng.standard_normal((2, 8, 10)).astype(np.float32)
+        m = (rng.random((2, 1, 10)) < 0.5)
+        want = (((zp - zt) ** 2) * m).sum() / ((zt ** 2) * m).sum()
+        got = float(masked_latent_rel_mse(jnp.asarray(zp), jnp.asarray(zt),
+                                          jnp.asarray(m)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        # exact prediction -> zero loss
+        assert float(masked_latent_rel_mse(jnp.asarray(zt), jnp.asarray(zt),
+                                           jnp.asarray(m))) == 0.0
+
+    def test_masked_time_rel_mse_is_snr_power_ratio(self):
+        from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import (
+            masked_time_rel_mse)
+        rng = np.random.default_rng(1)
+        hop = 4
+        t = rng.standard_normal((2, 1, 40)).astype(np.float32)
+        y = rng.standard_normal((2, 1, 40)).astype(np.float32)
+        m = (rng.random((2, 1, 10)) < 0.5)
+        sm = np.repeat(m, hop, axis=-1)
+        want = (((y - t) ** 2) * sm).sum() / ((t ** 2) * sm).sum()
+        got = float(masked_time_rel_mse(jnp.asarray(y), jnp.asarray(t),
+                                        jnp.asarray(m), hop))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_masked_time_rel_mse_ignores_unmasked_error(self):
+        from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import (
+            masked_time_rel_mse)
+        hop = 4
+        t = np.ones((1, 1, 8), np.float32)
+        y = t.copy()
+        y[..., 4:] = 99.0                       # error only in token 1's span
+        m0 = np.zeros((1, 1, 2), bool)
+        m0[..., 0] = True                       # mask token 0 (clean span)
+        assert float(masked_time_rel_mse(jnp.asarray(y), jnp.asarray(t),
+                                         jnp.asarray(m0), hop)) == 0.0
+
+    def test_train_step_with_extra_terms_decreases_masked_latent_err(self):
+        """A few steps with the latent-regression term must reduce the masked
+        latent error (the mechanism behind sample-aligned concealment)."""
+        import optax
+
+        from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+            LossConfig, TrainConfig)
+        from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import (
+            PLCTrainState, make_plc_train_step, masked_latent_rel_mse)
+
+        key = jax.random.key(0)
+        base = allpred_ar.codec_init(key, CFG)
+        head = plc_model.plc_head_init(jax.random.key(1), CFG)
+        backbones = {"audio": base.audio_dac, "tactile": base.tactile_dac}
+        tcfg = TrainConfig(batch=2, epochs=1, lr=3e-3,
+                           loss=LossConfig(w_plc_latent=1.0, w_plc_masked=0.5))
+        tx = optax.adam(tcfg.lr)
+        train_step, _ = make_plc_train_step(CFG, tcfg, tx, mask_embed=True)
+
+        rng = np.random.default_rng(7)
+        a = jnp.asarray((0.5 * rng.standard_normal((2, 1, 3200))).astype(np.float32))
+        tc = jnp.asarray((0.5 * rng.standard_normal((2, 1, 3200))).astype(np.float32))
+        m = jnp.asarray(masks.make_token_loss_mask(
+            np.random.default_rng(3), 2, 10, 2, 0.5))
+
+        def masked_latent_err(h):
+            params = allpred_ar.CodecParams(base.audio_dac, base.tactile_dac, h)
+            out = plc_model.forward_step(params, CFG, a, tc, m, mask_embed=True)
+            return float(masked_latent_rel_mse(out.z_pred, out.z_tgt,
+                                               out.latent_mask))
+
+        state = PLCTrainState(head, tx.init(head), jnp.zeros((), jnp.int32))
+        err0 = masked_latent_err(state.head)
+        for _ in range(20):
+            state, _ = train_step(state, backbones, a, tc, m, None)
+        err1 = masked_latent_err(state.head)
+        assert err1 < err0
+
+
+class TestPLCTrainResume:
+    def test_resume_continues_epochs_and_history(self, tmp_path):
+        from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+            TrainConfig)
+        from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import (
+            train_plc)
+
+        base = allpred_ar.codec_init(jax.random.key(0), CFG)
+        backbones = {"audio": base.audio_dac, "tactile": base.tactile_dac}
+        rng = np.random.default_rng(7)
+        a = (0.3 * rng.standard_normal((2, 1, 3200))).astype(np.float32)
+        tc = (0.3 * rng.standard_normal((2, 1, 3200))).astype(np.float32)
+        batches = lambda *_: iter([(a, tc)])  # noqa: E731
+        out = str(tmp_path / "run")
+        common = dict(cfg=CFG, pcfg=PLCConfig(), backbones=backbones,
+                      train_batches=batches, val_batches=batches,
+                      out_dir=out, mode="uniform", seed=7,
+                      steps_per_epoch=1)
+        tcfg = TrainConfig(epochs=2, batch=2, seg_sec=3200 / 24000,
+                           best_after_epoch=0)
+        h1 = train_plc(tcfg=tcfg, **common)
+        assert len(h1["train"]) == 2
+        tcfg4 = TrainConfig(epochs=4, batch=2, seg_sec=3200 / 24000,
+                            best_after_epoch=0)
+        h2 = train_plc(tcfg=tcfg4, resume=True, **common)
+        # epochs 3-4 appended to the restored 2-epoch history
+        assert len(h2["train"]) == 4
+        assert h2["train"][:2] == h1["train"][:2]
+        assert len(h2["val_masked_snr_db"]) == 4
+
+
+class TestPLCMetaRoundtrip:
+    def test_config_from_meta(self, tmp_path):
+        from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+            asdict_jsonable)
+        from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import (
+            plc_config_from_meta)
+        from multimodal_vqvae_compression_audio_tactile_tpu.utils import (
+            artifacts)
+
+        pcfg = PLCConfig(packet_tok=3, packet_loss_prob=0.25, mask_embed=True)
+        artifacts.write_meta(str(tmp_path), {"mode": "uniform",
+                                             "plc": asdict_jsonable(pcfg)})
+        got = plc_config_from_meta(str(tmp_path))
+        assert got == pcfg
+        # missing meta -> default
+        assert plc_config_from_meta(str(tmp_path / "nope")) == PLCConfig()
