@@ -157,8 +157,11 @@ def synth_pair(rng: np.random.Generator, dur_sec: float = 2.0,
 
 def stream_pretrain_batches(batch: int, seg: int = 24000, sr: int = 24000,
                             seed: int = 7, mix_audio: float = 0.5,
-                            prefetch: int = 4):
-    """Infinite stream of fresh synthetic waveform batches [B, 1, seg] float32.
+                            prefetch: int = 4, wire_i16: bool = False):
+    """Infinite stream of fresh synthetic waveform batches [B, 1, seg] float32
+    (or int16 wire batches with ``wire_i16`` — half the host->device bytes per
+    step on the tunneled runtime; the jitted steps dequantize in-graph,
+    data/wire.py).
 
     The corpus generator is cheap (~6 ms/pair) so backbone pretraining need
     never reuse a sample — no train/val gap, and the schedule length is set by
@@ -192,7 +195,11 @@ def stream_pretrain_batches(batch: int, seg: int = 24000, sr: int = 24000,
                 w = sanitize_wave_np(w)
                 st = int(rng.integers(0, max(1, w.shape[-1] - seg)))
                 xs[b, 0] = w[st: st + seg]
-            q.put(xs)
+            if wire_i16:
+                from .wire import encode_wave_i16
+                q.put(encode_wave_i16(xs))
+            else:
+                q.put(xs)
 
     threading.Thread(target=worker, daemon=True).start()
     while True:

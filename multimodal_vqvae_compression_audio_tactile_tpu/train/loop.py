@@ -110,6 +110,10 @@ def make_step_fns(cfg: CodecConfig, tcfg: TrainConfig,
     decay = ema_decay if ema_decay is not None else cfg.rvq.ema_decay
 
     def loss_fn(head, backbones, a, tc, rng):
+        from ..data import wire
+        # int16 wire batches (data/wire.py); float (and cached-latent) no-op
+        a = tuple(a) if isinstance(a, tuple) else wire.decode_wave(a)
+        tc = wire.decode_wave(tc)
         if isinstance(a, tuple):
             # cached-latent path (train/latent_cache.py): a = (qa, zt) frozen
             # backbone latents; only the AR roll + frozen decode run per step

@@ -26,6 +26,7 @@ import numpy as np
 import optax
 
 from ..core.config import DacConfig, GanConfig, TrainConfig
+from ..data import wire
 from ..losses import gan as gan_mod
 from ..losses.losses import codec_loss
 from ..models import dac
@@ -93,6 +94,7 @@ def make_pretrain_step(cfg: DacConfig, tcfg: TrainConfig,
 
     @partial(jax.jit, donate_argnums=(0,))
     def pretrain_step(state: PretrainState, x, base_rng=None):
+        x = wire.decode_wave(x)  # int16 wire batches (data/wire.py); float no-op
         # quantizer dropout keyed on-device from the step counter (a host
         # fold_in would block on a device->host read per step)
         nq = (sample_nq_dropout(jax.random.fold_in(base_rng, state.step),
@@ -117,7 +119,7 @@ def make_pretrain_step(cfg: DacConfig, tcfg: TrainConfig,
 
     @jax.jit
     def eval_step(params, x):
-        _, (parts, _, _) = loss_fn(params, x, None)
+        _, (parts, _, _) = loss_fn(params, wire.decode_wave(x), None)
         return parts["total"]
 
     return pretrain_step, eval_step
@@ -170,6 +172,7 @@ def make_gan_pretrain_step(cfg: DacConfig, tcfg: TrainConfig, gcfg: GanConfig,
 
     @partial(jax.jit, donate_argnums=(0,))
     def gan_step(state: GanPretrainState, x, base_rng=None):
+        x = wire.decode_wave(x)
         nq = (sample_nq_dropout(jax.random.fold_in(base_rng, state.step),
                                 x.shape[0], n_books)
               if base_rng is not None else None)
@@ -191,6 +194,7 @@ def make_gan_pretrain_step(cfg: DacConfig, tcfg: TrainConfig, gcfg: GanConfig,
     @partial(jax.jit, donate_argnums=(0,))
     def warmup_step(state: GanPretrainState, x, base_rng=None):
         """Reconstruction-only epochs before gcfg.start_epoch (D untouched)."""
+        x = wire.decode_wave(x)
         nq = (sample_nq_dropout(jax.random.fold_in(base_rng, state.step),
                                 x.shape[0], n_books)
               if base_rng is not None else None)
@@ -210,7 +214,7 @@ def make_gan_pretrain_step(cfg: DacConfig, tcfg: TrainConfig, gcfg: GanConfig,
 
     @jax.jit
     def eval_step(params, x):
-        _, _, total, _ = recon(params, x)
+        _, _, total, _ = recon(params, wire.decode_wave(x))
         return total
 
     return gan_step, warmup_step, eval_step

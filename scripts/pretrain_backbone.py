@@ -30,6 +30,9 @@ def main() -> None:
                     help="infinite fresh synthetic data (no file corpus): "
                          "each epoch is STEPS_PER_EPOCH freshly generated "
                          "batches; val is a fixed held-out generated set")
+    ap.add_argument("--no-wire-i16", action="store_true",
+                    help="ship float32 batches instead of the int16 wire "
+                         "format (stream mode only; see data/wire.py)")
     ap.add_argument("--save-every", type=int, default=1)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--cpu", action="store_true")
@@ -74,12 +77,16 @@ def main() -> None:
         from multimodal_vqvae_compression_audio_tactile_tpu.data.synth import (
             stream_pretrain_batches)
 
+        # int16 wire batches: half the host->device bytes per step through
+        # the tunnel; the jitted steps dequantize in-graph (data/wire.py)
         stream = stream_pretrain_batches(tcfg.batch, seg=tcfg.seg,
-                                         sr=cfg.sample_rate, seed=tcfg.seed)
+                                         sr=cfg.sample_rate, seed=tcfg.seed,
+                                         wire_i16=not args.no_wire_i16)
         # fixed held-out validation set from a disjoint seed
         val_set = list(islice(stream_pretrain_batches(
             tcfg.batch, seg=tcfg.seg, sr=cfg.sample_rate,
-            seed=tcfg.seed + 10_000, prefetch=1), 8))
+            seed=tcfg.seed + 10_000, prefetch=1,
+            wire_i16=not args.no_wire_i16), 8))
         train_batches = lambda ep: islice(stream, args.stream)  # noqa: E731
         val_batches = lambda: iter(val_set)                     # noqa: E731
         steps_per_epoch = args.stream
