@@ -7,6 +7,15 @@ and VQ/EMA state are replicated, and XLA/GSPMD inserts the gradient ``psum``
 collectives. Every workload goes through this module so the model code stays
 mesh-agnostic. A ``model`` axis is reserved for tensor parallelism should model sizes
 ever warrant it (~10M trainable params today — DP only).
+
+Multi-host / multi-slice: ``create_hybrid_mesh`` builds a (dcn, data, model)
+mesh whose OUTER axis spans the slow inter-slice DCN links and whose inner
+axes stay within a slice's ICI. Batches shard over (dcn, data) jointly, so
+GSPMD lowers the gradient all-reduce hierarchically — reduce within each
+slice over ICI first, then one small cross-slice all-reduce over DCN — which
+is the bandwidth-optimal layout (scaling-book recipe: put the lightest
+collective on the slowest link). ``distributed_init`` wraps
+``jax.distributed.initialize`` for the multi-process bring-up.
 """
 
 from __future__ import annotations
@@ -19,6 +28,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+DCN_AXIS = "dcn"
+# batch (data-parallel) axes in sharding-spec order, outermost first
+BATCH_AXES = (DCN_AXIS, DATA_AXIS)
+
+
+def distributed_init(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: initialize the JAX distributed runtime.
+
+    Call once per process before any device query; on TPU pods the three
+    arguments auto-detect from the environment, so a bare
+    ``distributed_init()`` is correct there. No-op (returns 1) when the
+    runtime is already initialized or this is a single-process run without
+    coordinator info. Returns ``jax.process_count()``.
+    """
+    try:
+        if coordinator_address is not None or num_processes not in (None, 1):
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        elif jax.process_count() == 1 and coordinator_address is None:
+            # single process, nothing to initialize
+            pass
+    except RuntimeError:
+        pass  # already initialized
+    return jax.process_count()
 
 
 def create_mesh(
@@ -38,9 +74,39 @@ def create_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def create_hybrid_mesh(
+    dcn: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+    model: int = 1,
+) -> Mesh:
+    """Build a (dcn, data, model) mesh for multi-slice / multi-host runs.
+
+    ``dcn`` = number of slices (defaults to ``jax.process_count()``; pass
+    explicitly on a virtual mesh). Device order: ``jax.devices()`` enumerates
+    process-major on real multi-host platforms, so the reshape puts each
+    process's local devices in one dcn row — intra-row collectives ride ICI,
+    and only the outer-axis reduction crosses DCN. On a genuine multi-slice
+    pod prefer ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` for
+    the ICI-topology-aware inner order; this reshape is correct whenever
+    local device order is contiguous (virtual meshes and single-board hosts).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if dcn is None:
+        dcn = max(1, jax.process_count())
+    n = len(devices)
+    if n % (dcn * model):
+        raise ValueError(f"{n} devices not divisible by dcn={dcn}*model={model}")
+    data = n // (dcn * model)
+    dev_array = np.asarray(devices).reshape(dcn, data, model)
+    return Mesh(dev_array, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis (batch) sharding over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Leading-axis (batch) sharding over every data-parallel axis the mesh
+    has — ("dcn", "data") on a hybrid mesh, ("data",) on a flat one."""
+    axes = tuple(ax for ax in BATCH_AXES if ax in mesh.axis_names)
+    return NamedSharding(mesh, P(axes))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

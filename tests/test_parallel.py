@@ -53,6 +53,61 @@ class TestMesh:
         np.testing.assert_array_equal(padded[5:], np.tile(x[-1:], (3, 1)))
 
 
+class TestHybridMesh:
+    """(dcn, data, model) hybrid mesh: the multi-host / multi-slice layout.
+
+    On 8 virtual devices a 2x4 hybrid mesh stands in for 2 slices of 4 chips:
+    the outer axis models DCN, inner ICI. Semantics must match the flat mesh
+    exactly — GSPMD just lowers the gradient reduction hierarchically.
+    """
+
+    def test_create_hybrid_mesh_shapes(self):
+        mesh = pm.create_hybrid_mesh(dcn=2)
+        assert mesh.shape == {"dcn": 2, "data": 4, "model": 1}
+        with pytest.raises(ValueError):
+            pm.create_hybrid_mesh(dcn=3)
+
+    def test_hybrid_batch_sharding_spans_both_axes(self):
+        mesh = pm.create_hybrid_mesh(dcn=2)
+        x = np.zeros((8, 4), np.float32)
+        xs = pm.shard_batch(mesh, x)
+        assert len(xs.sharding.device_set) == 8
+        assert {s.data.shape for s in xs.addressable_shards} == {(1, 4)}
+
+    def test_hybrid_dcn_rows_are_contiguous_devices(self):
+        """Each dcn row must hold one process's local devices (ICI group)."""
+        mesh = pm.create_hybrid_mesh(dcn=2)
+        ids = np.vectorize(lambda d: d.id)(mesh.devices)
+        np.testing.assert_array_equal(ids[:, :, 0],
+                                      np.arange(8).reshape(2, 4))
+
+    def test_hybrid_step_matches_flat_mesh(self, everything):
+        """The hybrid (2x4) mesh must produce the same update as the flat
+        8-device mesh on the same global batch."""
+        params, backbones, tcfg, tx, a, tc = everything
+        train_step, _ = tl.make_train_step(CFG, tcfg, tx)
+
+        def run(mesh):
+            head = jax.tree.map(jnp.array, params.head)
+            state = tl.TrainState(head, tx.init(head),
+                                  jnp.zeros((), jnp.int32))
+            state = tl.TrainState(*pm.shard_replicated(mesh, tuple(state)))
+            bb = pm.shard_replicated(mesh, backbones)
+            am, tm = pm.shard_batch(mesh, (a, tc))
+            return train_step(state, bb, am, tm, None, do_ema=True)
+
+        s_flat, p_flat = run(pm.create_mesh())
+        s_hyb, p_hyb = run(pm.create_hybrid_mesh(dcn=2))
+        assert float(p_flat[0]) == pytest.approx(float(p_hyb[0]), rel=1e-5)
+        for xf, xh in zip(jax.tree.leaves(s_flat.head),
+                          jax.tree.leaves(s_hyb.head)):
+            np.testing.assert_allclose(np.asarray(xf), np.asarray(xh),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_distributed_init_single_process_noop(self):
+        assert pm.distributed_init() == 1
+
+
 class TestShardedTraining:
     def test_sharded_step_runs_and_is_finite(self, everything):
         params, backbones, tcfg, tx, a, tc = everything
