@@ -175,7 +175,9 @@ def ssim(X: np.ndarray, Y: np.ndarray, data_range: float = 1.0,
     if min(X.shape) < win_size:
         win_size = min(X.shape) | 1  # keep odd, shrink to fit
         if win_size < 3:
-            win_size = 3
+            # fewer than 3 rows/cols leaves nothing after the border crop
+            # (skimage raises here too); callers fall back to norm similarity
+            raise ValueError("ssim: image smaller than minimum 3x3 window")
     X = X.astype(np.float64)
     Y = Y.astype(np.float64)
     NP = win_size ** 2

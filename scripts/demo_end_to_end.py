@@ -59,13 +59,30 @@ def main() -> None:
                     help="recon-only warmup epochs (default: half the run)")
     ap.add_argument("--plc-category", action="store_true",
                     help="also train + eval the category-burst PLC model")
+    # Beyond-reference PLC quality terms (0 / 0 / --no-mask-embed reproduces
+    # the reference recipe; defaults are the improved concealment recipe —
+    # see core/config.py LossConfig.w_plc_* and PLCConfig.mask_embed)
+    ap.add_argument("--plc-latent-w", type=float, default=1.0)
+    ap.add_argument("--plc-masked-w", type=float, default=0.5)
+    ap.add_argument("--no-mask-embed", action="store_true")
+    ap.add_argument("--plc-resume", action="store_true",
+                    help="continue interrupted PLC runs from last.msgpack "
+                         "(leave off when retraining with a changed recipe)")
     ap.add_argument("--only-plc-category", action="store_true",
                     help="focused run: corpus + backbone (reused if present) + "
                          "category PLC train/eval; skips sweep, uniform PLC "
                          "and the codec benchmark")
+    ap.add_argument("--only-plc", action="store_true",
+                    help="focused run: corpus + backbone (reused if present) + "
+                         "BOTH PLC models trained + evaluated; skips the codec "
+                         "sweep, VC-PWQ coding and the codec benchmark (for "
+                         "PLC-recipe iterations against an existing root)")
     args = ap.parse_args()
-    if args.only_plc_category:
+    if args.only_plc_category or args.only_plc:
         args.plc_category = True
+    # phase gates: which of sweep / uniform-PLC / codec-benchmark to run
+    args.do_uniform_plc = not args.only_plc_category
+    args.do_codec = not (args.only_plc_category or args.only_plc)
     _common.setup_jax(cpu=args.cpu)
 
     import jax
@@ -93,7 +110,8 @@ def main() -> None:
         import eval_plc_categories
     from multimodal_vqvae_compression_audio_tactile_tpu.plc.eval_uniform import (
         eval_plc_uniform)
-    from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import train_plc
+    from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import (
+        plc_config_from_meta, train_plc)
     from multimodal_vqvae_compression_audio_tactile_tpu.train import (
         checkpoint as ckpt)
     from multimodal_vqvae_compression_audio_tactile_tpu.train.pretrain_backbone \
@@ -177,7 +195,7 @@ def main() -> None:
 
     sweep_train_it, sweep_val_it, sweep_steps = train_it, val_it, None
     cache = tr_rows = va_rows = seg_tok = n_val = None
-    if args.cached_heads and not args.only_plc_category:
+    if args.cached_heads and args.do_uniform_plc:
         from multimodal_vqvae_compression_audio_tactile_tpu.train import (
             latent_cache as lc)
         t0 = time.time()
@@ -213,7 +231,7 @@ def main() -> None:
             indices=va_rows)
 
     t0 = time.time()
-    if not args.only_plc_category:
+    if args.do_codec:
         run_sweep(
             cfg, tcfg_cd, sweep, backbones,
             train_batches=sweep_train_it,
@@ -227,30 +245,36 @@ def main() -> None:
         print(f"[demo] sweep trained in {time.time()-t0:.0f}s", flush=True)
 
     # ---- 4. PLC -----------------------------------------------------------
+    import dataclasses as _dc
+
     plc_dir = os.path.join(root, "plc_uniform")
     tcfg_plc = TrainConfig(epochs=args.plc_epochs, batch=args.batch,
-                           seed=args.seed, best_after_epoch=0)
+                           seed=args.seed, best_after_epoch=0,
+                           loss=_dc.replace(TrainConfig().loss,
+                                            w_plc_latent=args.plc_latent_w,
+                                            w_plc_masked=args.plc_masked_w))
+    pcfg_train = PLCConfig(mask_embed=not args.no_mask_embed)
     plc_train_it = sweep_train_it if args.cached_heads else train_it
     plc_val_it = sweep_val_it if args.cached_heads else val_it
-    if not args.only_plc_category:
+    if args.do_uniform_plc:
         t0 = time.time()
-        train_plc(cfg, tcfg_plc, PLCConfig(), backbones,
+        train_plc(cfg, tcfg_plc, pcfg_train, backbones,
                   train_batches=plc_train_it,
                   val_batches=plc_val_it,
                   out_dir=plc_dir, mode="uniform", seed=args.seed,
                   steps_per_epoch=sweep_steps,
-                  save_every=5)
+                  save_every=5, resume=args.plc_resume)
         print(f"[demo] PLC trained in {time.time()-t0:.0f}s", flush=True)
 
     plc_cat_dir = os.path.join(root, "plc_category")
     if args.plc_category:
         t0 = time.time()
-        train_plc(cfg, tcfg_plc, PLCConfig(), backbones,
+        train_plc(cfg, tcfg_plc, pcfg_train, backbones,
                   train_batches=plc_train_it,
                   val_batches=plc_val_it,
                   out_dir=plc_cat_dir, mode="category", seed=args.seed,
                   steps_per_epoch=sweep_steps,
-                  save_every=5)
+                  save_every=5, resume=args.plc_resume)
         print(f"[demo] category PLC trained in {time.time()-t0:.0f}s",
               flush=True)
 
@@ -260,7 +284,7 @@ def main() -> None:
     vc_dec = os.path.join(root, "vc_decoded")
     vc_comp = os.path.join(root, "vc_compressed")
     vc_b_list = EvalConfig().vc_b_list  # full reference budget set
-    if os.path.exists(codec_bin) and not args.only_plc_category:
+    if os.path.exists(codec_bin) and args.do_codec:
         import glob as _glob
         n_t = len(_glob.glob(os.path.join(tact_dir, "*.wav")))
         for b in vc_b_list:
@@ -280,7 +304,7 @@ def main() -> None:
     ecfg = EvalConfig()
 
     dac24, proposed_rows, vc_rows = {}, [], []
-    if not args.only_plc_category:
+    if args.do_codec:
         # latencies from a pull-free subprocess: this training process has
         # pulled checkpoints/metrics, which degrades the tunneled runtime's
         # dispatch to a ~30 ms floor (see scripts/measure_latencies.py)
@@ -334,14 +358,15 @@ def main() -> None:
     # ---- 5c. PLC eval ------------------------------------------------------
     plc_template = plc_model.plc_head_init(jax.random.key(0), cfg)
     plc_summary = None
-    if not args.only_plc_category:
+    if args.do_uniform_plc:
         plc_head, _, _ = ckpt.load_checkpoint_tolerant(
             os.path.join(plc_dir, "best.msgpack"), plc_template)
         plc_params = allpred_ar.CodecParams(backbones["audio"],
                                             backbones["tactile"], plc_head)
         t0 = time.time()
         plc_summary = eval_plc_uniform(plc_params, cfg, eval_pairs, plc_dir,
-                                       PLCConfig(), ecfg, seed=args.seed)
+                                       plc_config_from_meta(plc_dir),
+                                       ecfg, seed=args.seed)
         print(f"[demo] PLC eval in {time.time()-t0:.0f}s", flush=True)
 
     if args.plc_category:
@@ -351,7 +376,8 @@ def main() -> None:
                                             backbones["tactile"], cat_head)
         t0 = time.time()
         eval_plc_categories(cat_params, cfg, eval_pairs, plc_cat_dir,
-                            PLCConfig(), ecfg, seed=args.seed)
+                            plc_config_from_meta(plc_cat_dir),
+                            ecfg, seed=args.seed)
         print(f"[demo] category PLC eval in {time.time()-t0:.0f}s", flush=True)
 
     # ---- summary -----------------------------------------------------------
