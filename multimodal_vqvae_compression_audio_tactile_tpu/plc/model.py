@@ -137,6 +137,32 @@ def forward_step_latents(
                   z_pred=z_pred, z_tgt=zt_full)
 
 
+@partial(jax.jit, static_argnames=("cfg", "mask_embed"))
+def predict_latents(
+    head: dict,
+    cfg: CodecConfig,
+    qa: jax.Array,
+    zt_full: jax.Array,
+    mask_tokens: jax.Array,
+    dropout_rng: Optional[jax.Array] = None,
+    mask_embed: bool = False,
+) -> tuple:
+    """Predictor-only forward (no decode): (z_pred, latent_mask [B,1,T]).
+
+    Beyond-reference: the decoder-free graph is much cheaper per step than
+    the full forward (the 1024-ch transposed-conv decode dominates), so a
+    latent-only pretrain phase (plc/train.py ``latent_pretrain_epochs``)
+    buys many more alignment-shaping updates per unit time before the
+    full-loss fine-tune.
+    """
+    m = mask_tokens[:, None, :]
+    zt_in = _receiver_view(head, zt_full, m, mask_embed)
+    qa_res = _interp_latent(qa, zt_full.shape[-1])
+    z_pred = cross_predictor_apply(
+        head["predict"], zt_in, qa_res, cfg.predictor, dropout_rng=dropout_rng)
+    return z_pred, m
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def forward_zero_fill(
     params: allpred_ar.CodecParams,

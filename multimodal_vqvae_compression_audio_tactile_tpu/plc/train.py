@@ -147,7 +147,40 @@ def make_plc_train_step(cfg: CodecConfig, tcfg: TrainConfig,
         _, parts = loss_fn(head, backbones, a, tc, mask, None)
         return _pack(parts)
 
-    return train_step, eval_step
+    def latent_loss_fn(head, backbones, a, tc, mask, rng):
+        # decoder-free phase: only the masked latent regression trains
+        # (plc/model.py::predict_latents); tmse is not measurable without
+        # decode and reports 0
+        if isinstance(a, tuple):
+            qa, zt = a
+        else:
+            from ..data import wire
+            params = allpred_ar.CodecParams(backbones["audio"],
+                                            backbones["tactile"], head)
+            qa, zt = allpred_ar.backbone_latents(
+                params, cfg, wire.decode_wave(a), wire.decode_wave(tc))
+        z_pred, m = plc_model.predict_latents(head, cfg, qa, zt, mask,
+                                              dropout_rng=rng,
+                                              mask_embed=mask_embed)
+        lat = masked_latent_rel_mse(z_pred, zt, m)
+        w = max(tcfg.loss.w_plc_latent, 1e-3)  # phase works even with w=0
+        total = w * lat
+        return total, {"total": total, "lat": lat,
+                       "tmse": jnp.zeros(())}
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def latent_train_step(state: PLCTrainState, backbones, a, tc, mask,
+                          base_rng):
+        rng = (jax.random.fold_in(base_rng, state.step)
+               if base_rng is not None else None)
+        (_, parts), grads = jax.value_and_grad(
+            latent_loss_fn, has_aux=True)(state.head, backbones, a, tc,
+                                          mask, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.head)
+        head = optax.apply_updates(state.head, updates)
+        return PLCTrainState(head, opt_state, state.step + 1), _pack(parts)
+
+    return train_step, eval_step, latent_train_step
 
 
 def _make_mask(rng: np.random.Generator, batch: int, t_lat: int,
@@ -173,13 +206,18 @@ def train_plc(
     steps_per_epoch: Optional[int] = None,
     save_every: int = 1,
     resume: bool = False,
+    latent_pretrain_epochs: int = 0,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Train a PLC head; writes last/best/hist/meta with the reference contract.
 
     ``resume=True`` continues from ``out_dir/last.msgpack`` if present (the
     LR schedule fast-forwards to its true step position; same recipe as
-    train/loop.py::make_optimizer)."""
+    train/loop.py::make_optimizer). ``latent_pretrain_epochs``: the first N
+    epochs train the masked latent regression through the decoder-FREE graph
+    (plc/model.py::predict_latents) — far cheaper per step — before the
+    full-loss fine-tune; val always scores the full loss, so hist['val'] is
+    comparable across phases."""
     assert mode in ("uniform", "category")
     os.makedirs(out_dir, exist_ok=True)
     head = plc_model.plc_head_init(jax.random.key(seed), cfg)
@@ -208,7 +246,7 @@ def train_plc(
                     optax.adamw(schedule, weight_decay=tcfg.weight_decay)),
         max_consecutive_errors=10**6)
     state = PLCTrainState(head, tx.init(head), jnp.zeros((), jnp.int32))
-    train_step, eval_step = make_plc_train_step(
+    train_step, eval_step, latent_step = make_plc_train_step(
         cfg, tcfg, tx, mask_embed=pcfg.mask_embed)
 
     if mesh is None and len(jax.devices()) > 1 and \
@@ -249,12 +287,14 @@ def train_plc(
                 # 2-tuple: (a, tc) waveforms; 3-tuple: cached (qa, zt, tc)
                 return ((b[0], b[1]), b[2]) if len(b) == 3 else b
 
+            step_fn = (latent_step if ep <= latent_pretrain_epochs
+                       else train_step)
             for b in train_batches(ep):
                 a, tc = unpack(b)
                 bsz = tc.shape[0]
                 mask = _make_mask(mask_rng, bsz, t_lat, pcfg, mode, tps)
                 a, tc, mask = put((a, tc, mask))
-                state, total = train_step(state, backbones, a, tc, mask, base_rng)
+                state, total = step_fn(state, backbones, a, tc, mask, base_rng)
                 step_parts.append(total)
             val_rng = np.random.default_rng(seed + 999)  # fixed masks across epochs
             val_parts = []
@@ -283,7 +323,10 @@ def train_plc(
                 f"mSNR {msnr:.2f} dB | {time.time()-t0:.1f}s")
 
             # divergence recovery (same rationale as train/pretrain_backbone.py)
-            if (best_head is not None and np.isfinite(hist["train"][-1])
+            # — skipped during the latent-only phase (train totals are on the
+            # latent-loss scale there, not comparable to the full-loss val)
+            if (ep > latent_pretrain_epochs and best_head is not None
+                    and np.isfinite(hist["train"][-1])
                     and hist["train"][-1] > 5.0 * max(best_val, 1e-9)):
                 log(f"[plc:{mode}] divergence at epoch {ep}: restoring best "
                     f"(epoch {best_epoch}), resetting optimizer")

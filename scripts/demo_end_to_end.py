@@ -65,6 +65,9 @@ def main() -> None:
     ap.add_argument("--plc-latent-w", type=float, default=1.0)
     ap.add_argument("--plc-masked-w", type=float, default=0.5)
     ap.add_argument("--no-mask-embed", action="store_true")
+    ap.add_argument("--plc-latent-epochs", type=int, default=0,
+                    help="decoder-free masked-latent pretrain epochs before "
+                         "the full-loss fine-tune (plc/train.py)")
     ap.add_argument("--plc-resume", action="store_true",
                     help="continue interrupted PLC runs from last.msgpack "
                          "(leave off when retraining with a changed recipe)")
@@ -263,7 +266,8 @@ def main() -> None:
                   val_batches=plc_val_it,
                   out_dir=plc_dir, mode="uniform", seed=args.seed,
                   steps_per_epoch=sweep_steps,
-                  save_every=5, resume=args.plc_resume)
+                  save_every=5, resume=args.plc_resume,
+                  latent_pretrain_epochs=args.plc_latent_epochs)
         print(f"[demo] PLC trained in {time.time()-t0:.0f}s", flush=True)
 
     plc_cat_dir = os.path.join(root, "plc_category")
@@ -274,7 +278,8 @@ def main() -> None:
                   val_batches=plc_val_it,
                   out_dir=plc_cat_dir, mode="category", seed=args.seed,
                   steps_per_epoch=sweep_steps,
-                  save_every=5, resume=args.plc_resume)
+                  save_every=5, resume=args.plc_resume,
+                  latent_pretrain_epochs=args.plc_latent_epochs)
         print(f"[demo] category PLC trained in {time.time()-t0:.0f}s",
               flush=True)
 

@@ -33,6 +33,8 @@ def main() -> None:
                     help="masked-span time-domain relative-MSE weight")
     ap.add_argument("--no-mask-embed", action="store_true",
                     help="disable the learned lost-token embedding")
+    ap.add_argument("--plc-latent-epochs", type=int, default=0,
+                    help="decoder-free masked-latent pretrain epochs")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     _common.setup_jax(cpu=args.cpu)
@@ -67,7 +69,8 @@ def main() -> None:
                                                 epoch=ep),
         val_batches=lambda: batch_iterator(ds_va, tcfg.batch, shuffle=False,
                                            drop_last=False),
-        out_dir=args.out_dir, mode=args.mode, seed=tcfg.seed)
+        out_dir=args.out_dir, mode=args.mode, seed=tcfg.seed,
+        latent_pretrain_epochs=args.plc_latent_epochs)
 
 
 if __name__ == "__main__":

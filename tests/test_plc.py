@@ -249,6 +249,47 @@ class TestPLCLossTerms:
         assert float(masked_time_rel_mse(jnp.asarray(y), jnp.asarray(t),
                                          jnp.asarray(m0), hop)) == 0.0
 
+    def test_latent_only_step_trains_same_objective(self):
+        """The decoder-free latent step must reduce the same masked latent
+        error the full step optimizes (and never touch the decoder)."""
+        import optax
+
+        from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+            LossConfig, TrainConfig)
+        from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import (
+            PLCTrainState, make_plc_train_step, masked_latent_rel_mse)
+
+        base = allpred_ar.codec_init(jax.random.key(0), CFG)
+        head = plc_model.plc_head_init(jax.random.key(1), CFG)
+        backbones = {"audio": base.audio_dac, "tactile": base.tactile_dac}
+        tcfg = TrainConfig(batch=2, epochs=1, lr=3e-3,
+                           loss=LossConfig(w_plc_latent=1.0))
+        tx = optax.adam(tcfg.lr)
+        _, _, latent_step = make_plc_train_step(CFG, tcfg, tx,
+                                                mask_embed=True)
+
+        rng = np.random.default_rng(7)
+        a = jnp.asarray((0.5 * rng.standard_normal((2, 1, 3200))).astype(np.float32))
+        tc = jnp.asarray((0.5 * rng.standard_normal((2, 1, 3200))).astype(np.float32))
+        m = jnp.asarray(masks.make_token_loss_mask(
+            np.random.default_rng(3), 2, 10, 2, 0.5))
+
+        qa, zt = allpred_ar.backbone_latents(
+            allpred_ar.CodecParams(base.audio_dac, base.tactile_dac, head),
+            CFG, a, tc)
+
+        def err(h):
+            zp, mm = plc_model.predict_latents(h, CFG, qa, zt, m,
+                                               mask_embed=True)
+            return float(masked_latent_rel_mse(zp, zt, mm))
+
+        state = PLCTrainState(head, tx.init(head), jnp.zeros((), jnp.int32))
+        e0 = err(state.head)
+        for _ in range(15):
+            state, metrics = latent_step(state, backbones, a, tc, m, None)
+        assert float(np.asarray(metrics)[2]) == 0.0  # tmse column reports 0
+        assert err(state.head) < e0
+
     def test_train_step_with_extra_terms_decreases_masked_latent_err(self):
         """A few steps with the latent-regression term must reduce the masked
         latent error (the mechanism behind sample-aligned concealment)."""
@@ -266,7 +307,7 @@ class TestPLCLossTerms:
         tcfg = TrainConfig(batch=2, epochs=1, lr=3e-3,
                            loss=LossConfig(w_plc_latent=1.0, w_plc_masked=0.5))
         tx = optax.adam(tcfg.lr)
-        train_step, _ = make_plc_train_step(CFG, tcfg, tx, mask_embed=True)
+        train_step, _, _ = make_plc_train_step(CFG, tcfg, tx, mask_embed=True)
 
         rng = np.random.default_rng(7)
         a = jnp.asarray((0.5 * rng.standard_normal((2, 1, 3200))).astype(np.float32))
