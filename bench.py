@@ -22,7 +22,46 @@ BASELINE_ENC_MS = 15.40  # reference rvqB10_K128 encoding_delay_ms
 BASELINE_DEC_MS = 2.75
 
 
+def _require_device(timeout_s: float = 180.0):
+    """Watchdog around backend init: the tunneled TPU relay can die between
+    sessions (observed twice), and then even ``jax.devices()`` blocks
+    forever. A hung bench would lose the round's artifact entirely, so probe
+    device init on a daemon thread and emit an explicit error record on
+    timeout instead of hanging."""
+    import os
+    import threading
+
+    out: dict = {}
+
+    def probe():
+        try:
+            import jax
+
+            out["platform"] = jax.devices()[0].platform
+        except Exception as e:  # pragma: no cover - depends on tunnel state
+            out["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "platform" in out:
+        return
+    print(json.dumps({
+        "metric": "encode_ms_per_1s_signal",
+        "value": 0.0,
+        "unit": "ms",
+        "vs_baseline": 0.0,
+        "extra": {"error": "accelerator backend init did not complete within "
+                           f"{timeout_s:.0f}s ({out.get('error', 'hang')}); "
+                           "the TPU tunnel relay is likely down - see "
+                           "CLAUDE.md tunnel-relay note. Healthy-state "
+                           "numbers: BENCH_r01.json"},
+    }))
+    os._exit(0)
+
+
 def main() -> None:
+    _require_device()
     import jax
 
     from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
