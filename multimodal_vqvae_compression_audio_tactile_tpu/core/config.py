@@ -288,6 +288,10 @@ class PLCConfig:
     # PLC/PLC1.py:383-385). The parameter always exists in the head (zeros =
     # no-op); this flag controls whether the forward applies it.
     mask_embed: bool = False
+    # Beyond-reference: stacked cross-attention predictor depth (the
+    # reference uses exactly one block, PLC/PLC1.py:374). 1 keeps the exact
+    # reference head structure; extra blocks live under "predict_extra".
+    n_layers: int = 1
     cat_probs: Tuple[float, float, float] = (0.52, 0.32, 0.16)  # low/medium/high
     cat_burst_ms: Tuple[Tuple[float, float], ...] = (
         (20.0, 120.0), (120.0, 320.0), (320.0, 1000.0))

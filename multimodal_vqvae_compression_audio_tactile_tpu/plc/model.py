@@ -24,7 +24,8 @@ from ..models import allpred_ar, dac
 from ..nn.layers import cross_predictor_apply, cross_predictor_init, token_norm_init
 
 
-def plc_head_init(key: jax.Array, cfg: CodecConfig) -> dict:
+def plc_head_init(key: jax.Array, cfg: CodecConfig,
+                  n_layers: int = 1) -> dict:
     """Trainable PLC head: predictor (+ tokennorm kept for checkpoint parity with
     the reference, which instantiates but does not use it in the forward —
     PLC/PLC1.py:374-375).
@@ -33,13 +34,38 @@ def plc_head_init(key: jax.Array, cfg: CodecConfig) -> dict:
     (zeros) so checkpoint templates are shape-stable whether or not the flag
     was on; with the flag off the forward never reads it and its gradient is
     zero, so it stays exactly zero.
+
+    ``n_layers`` (beyond-reference, PLCConfig.n_layers): layers beyond the
+    first live under "predict_extra" so an n_layers=1 head keeps the exact
+    reference checkpoint structure.
     """
-    kp, _ = jax.random.split(key)
-    return {
+    kp, kx = jax.random.split(key)
+    head = {
         "predict": cross_predictor_init(kp, cfg.predictor),
         "tokennorm": token_norm_init(cfg.predictor.dim),
         "mask_embed": jnp.zeros((cfg.predictor.dim,), jnp.float32),
     }
+    if n_layers > 1:
+        keys = jax.random.split(kx, n_layers - 1)
+        head["predict_extra"] = [cross_predictor_init(k, cfg.predictor)
+                                 for k in keys]
+    return head
+
+
+def _apply_predictor(head: dict, zt_in: jax.Array, qa_res: jax.Array,
+                     cfg: CodecConfig, dropout_rng=None) -> jax.Array:
+    """Apply the (possibly stacked) cross-attention predictor: every block
+    cross-attends the running tactile estimate to the audio latents."""
+    def r(i):
+        return (jax.random.fold_in(dropout_rng, i)
+                if dropout_rng is not None else None)
+
+    z = cross_predictor_apply(head["predict"], zt_in, qa_res, cfg.predictor,
+                              dropout_rng=r(0))
+    for i, blk in enumerate(head.get("predict_extra", ())):
+        z = cross_predictor_apply(blk, z, qa_res, cfg.predictor,
+                                  dropout_rng=r(i + 1))
+    return z
 
 
 def _interp_latent(x: jax.Array, t_out: int) -> jax.Array:
@@ -98,9 +124,8 @@ def forward_step(
 
     zt_in = _receiver_view(params.head, zt_full, m, mask_embed)
     qa_res = _interp_latent(qa, T_lat)
-    z_pred = cross_predictor_apply(
-        params.head["predict"], zt_in, qa_res, cfg.predictor,
-        dropout_rng=dropout_rng)
+    z_pred = _apply_predictor(params.head, zt_in, qa_res, cfg,
+                              dropout_rng=dropout_rng)
     z_filled = jnp.where(m, z_pred, zt_full * (~m))
     y_hat = dac.decode(params.tactile_dac, cfg.dac, z_filled)
 
@@ -127,8 +152,8 @@ def forward_step_latents(
     m = mask_tokens[:, None, :]
     zt_in = _receiver_view(head, zt_full, m, mask_embed)
     qa_res = _interp_latent(qa, zt_full.shape[-1])
-    z_pred = cross_predictor_apply(
-        head["predict"], zt_in, qa_res, cfg.predictor, dropout_rng=dropout_rng)
+    z_pred = _apply_predictor(head, zt_in, qa_res, cfg,
+                              dropout_rng=dropout_rng)
     z_filled = jnp.where(m, z_pred, zt_full * (~m))
     y_hat = dac.decode(tactile_dac, cfg.dac, z_filled)
     T = min(y_hat.shape[-1], tc.shape[-1])
@@ -158,8 +183,8 @@ def predict_latents(
     m = mask_tokens[:, None, :]
     zt_in = _receiver_view(head, zt_full, m, mask_embed)
     qa_res = _interp_latent(qa, zt_full.shape[-1])
-    z_pred = cross_predictor_apply(
-        head["predict"], zt_in, qa_res, cfg.predictor, dropout_rng=dropout_rng)
+    z_pred = _apply_predictor(head, zt_in, qa_res, cfg,
+                              dropout_rng=dropout_rng)
     return z_pred, m
 
 
@@ -202,7 +227,6 @@ def conceal(
     m = mask_tokens[:, None, :]
     zt_in = _receiver_view(params.head, zt_received, m, mask_embed)
     qa_res = _interp_latent(qa, zt_in.shape[-1])
-    z_pred = cross_predictor_apply(params.head["predict"], zt_in, qa_res,
-                                   cfg.predictor)
+    z_pred = _apply_predictor(params.head, zt_in, qa_res, cfg)
     z_filled = jnp.where(m, z_pred, zt_received * (~m))
     return dac.decode(params.tactile_dac, cfg.dac, z_filled)

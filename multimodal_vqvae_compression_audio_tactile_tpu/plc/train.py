@@ -220,7 +220,8 @@ def train_plc(
     comparable across phases."""
     assert mode in ("uniform", "category")
     os.makedirs(out_dir, exist_ok=True)
-    head = plc_model.plc_head_init(jax.random.key(seed), cfg)
+    head = plc_model.plc_head_init(jax.random.key(seed), cfg,
+                                   n_layers=pcfg.n_layers)
     if steps_per_epoch is None:
         steps_per_epoch = max(1, sum(1 for _ in train_batches(0)))
 

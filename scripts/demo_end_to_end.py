@@ -65,6 +65,9 @@ def main() -> None:
     ap.add_argument("--plc-latent-w", type=float, default=1.0)
     ap.add_argument("--plc-masked-w", type=float, default=0.5)
     ap.add_argument("--no-mask-embed", action="store_true")
+    ap.add_argument("--plc-layers", type=int, default=1,
+                    help="stacked cross-attention predictor depth "
+                         "(1 = reference head structure)")
     ap.add_argument("--plc-latent-epochs", type=int, default=0,
                     help="decoder-free masked-latent pretrain epochs before "
                          "the full-loss fine-tune (plc/train.py)")
@@ -256,7 +259,8 @@ def main() -> None:
                            loss=_dc.replace(TrainConfig().loss,
                                             w_plc_latent=args.plc_latent_w,
                                             w_plc_masked=args.plc_masked_w))
-    pcfg_train = PLCConfig(mask_embed=not args.no_mask_embed)
+    pcfg_train = PLCConfig(mask_embed=not args.no_mask_embed,
+                           n_layers=args.plc_layers)
     plc_train_it = sweep_train_it if args.cached_heads else train_it
     plc_val_it = sweep_val_it if args.cached_heads else val_it
     if args.do_uniform_plc:
@@ -361,28 +365,29 @@ def main() -> None:
         print(f"[demo] codec eval in {time.time()-t0:.0f}s", flush=True)
 
     # ---- 5c. PLC eval ------------------------------------------------------
-    plc_template = plc_model.plc_head_init(jax.random.key(0), cfg)
+    def load_plc_params(run_dir):
+        # the template must match the trained predictor depth (meta-driven)
+        p = plc_config_from_meta(run_dir)
+        template = plc_model.plc_head_init(jax.random.key(0), cfg,
+                                           n_layers=p.n_layers)
+        h, _, _ = ckpt.load_checkpoint_tolerant(
+            os.path.join(run_dir, "best.msgpack"), template)
+        return allpred_ar.CodecParams(backbones["audio"],
+                                      backbones["tactile"], h), p
+
     plc_summary = None
     if args.do_uniform_plc:
-        plc_head, _, _ = ckpt.load_checkpoint_tolerant(
-            os.path.join(plc_dir, "best.msgpack"), plc_template)
-        plc_params = allpred_ar.CodecParams(backbones["audio"],
-                                            backbones["tactile"], plc_head)
+        plc_params, p_uni = load_plc_params(plc_dir)
         t0 = time.time()
         plc_summary = eval_plc_uniform(plc_params, cfg, eval_pairs, plc_dir,
-                                       plc_config_from_meta(plc_dir),
-                                       ecfg, seed=args.seed)
+                                       p_uni, ecfg, seed=args.seed)
         print(f"[demo] PLC eval in {time.time()-t0:.0f}s", flush=True)
 
     if args.plc_category:
-        cat_head, _, _ = ckpt.load_checkpoint_tolerant(
-            os.path.join(plc_cat_dir, "best.msgpack"), plc_template)
-        cat_params = allpred_ar.CodecParams(backbones["audio"],
-                                            backbones["tactile"], cat_head)
+        cat_params, p_cat = load_plc_params(plc_cat_dir)
         t0 = time.time()
         eval_plc_categories(cat_params, cfg, eval_pairs, plc_cat_dir,
-                            plc_config_from_meta(plc_cat_dir),
-                            ecfg, seed=args.seed)
+                            p_cat, ecfg, seed=args.seed)
         print(f"[demo] category PLC eval in {time.time()-t0:.0f}s", flush=True)
 
     # ---- summary -----------------------------------------------------------

@@ -139,17 +139,17 @@ def main() -> None:
 
     plc_dir = os.path.join(root, "plc_uniform")
     if os.path.exists(os.path.join(plc_dir, "best.msgpack")):
-        plc_template = plc_model.plc_head_init(jax.random.key(0), cfg)
+        from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import (
+            plc_config_from_meta)
+        pcfg = plc_config_from_meta(plc_dir, PLCConfig())
+        plc_template = plc_model.plc_head_init(jax.random.key(0), cfg,
+                                               n_layers=pcfg.n_layers)
         plc_head, _, _ = ckpt.load_checkpoint_tolerant(
             os.path.join(plc_dir, "best.msgpack"), plc_template)
         plc_params = allpred_ar.CodecParams(bb, bb, plc_head)
         t0 = time.time()
-        from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import (
-            plc_config_from_meta)
         plc_summary = eval_plc_uniform(plc_params, cfg, eval_pairs, plc_dir,
-                                       plc_config_from_meta(plc_dir,
-                                                            PLCConfig()),
-                                       ecfg, seed=args.seed,
+                                       pcfg, ecfg, seed=args.seed,
                                        plot_top_k=4)
         print(f"[eval] PLC in {time.time()-t0:.0f}s", flush=True)
     else:

@@ -47,12 +47,14 @@ def main() -> None:
 
     cfg = CodecConfig()
     backbones = _common.default_backbones(cfg, args.backbone, args.seed)
-    template = plc_model.plc_head_init(jax.random.key(0), cfg)
+    # reproduce the training condition (packet shape, mask_embed, predictor
+    # depth) from the run's meta BEFORE building the checkpoint template
+    pcfg = plc_config_from_meta(args.run_dir, PLCConfig())
+    template = plc_model.plc_head_init(jax.random.key(0), cfg,
+                                       n_layers=pcfg.n_layers)
     head, _, _ = ckpt.load_checkpoint_tolerant(
         os.path.join(args.run_dir, args.checkpoint), template)
     params = allpred_ar.CodecParams(backbones["audio"], backbones["tactile"], head)
-    # reproduce the training condition (packet shape, mask_embed) from meta
-    pcfg = plc_config_from_meta(args.run_dir, PLCConfig())
 
     pairs = pair_stems(args.audio_dir, args.tact_dir)
     if args.max_files and len(pairs) > args.max_files:

@@ -35,6 +35,8 @@ def main() -> None:
                     help="disable the learned lost-token embedding")
     ap.add_argument("--plc-latent-epochs", type=int, default=0,
                     help="decoder-free masked-latent pretrain epochs")
+    ap.add_argument("--plc-layers", type=int, default=1,
+                    help="stacked predictor depth (1 = reference structure)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     _common.setup_jax(cpu=args.cpu)
@@ -51,7 +53,8 @@ def main() -> None:
     tcfg = TrainConfig(epochs=args.epochs, batch=args.batch, seed=args.seed,
                        loss=LossConfig(w_plc_latent=args.plc_latent_w,
                                        w_plc_masked=args.plc_masked_w))
-    pcfg = PLCConfig(mask_embed=not args.no_mask_embed)
+    pcfg = PLCConfig(mask_embed=not args.no_mask_embed,
+                     n_layers=args.plc_layers)
 
     if args.synth:
         pairs = make_synth_corpus(args.out_dir + "/_synth", n_pairs=args.synth,

@@ -329,6 +329,62 @@ class TestPLCLossTerms:
         assert err1 < err0
 
 
+class TestStackedPredictor:
+    """PLCConfig.n_layers (beyond-reference stacked cross-attention)."""
+
+    def test_single_layer_keeps_reference_structure(self):
+        h1 = plc_model.plc_head_init(jax.random.key(1), CFG, n_layers=1)
+        assert "predict_extra" not in h1
+        h3 = plc_model.plc_head_init(jax.random.key(1), CFG, n_layers=3)
+        assert len(h3["predict_extra"]) == 2
+        # first block shares the init path -> identical leaves
+        np.testing.assert_allclose(
+            np.asarray(h1["predict"]["q_proj"]["w"]),
+            np.asarray(h3["predict"]["q_proj"]["w"]))
+
+    def test_stacked_forward_differs_and_is_finite(self):
+        key = jax.random.key(0)
+        base = allpred_ar.codec_init(key, CFG)
+        rng = np.random.default_rng(7)
+        a = jnp.asarray((0.5 * rng.standard_normal((2, 1, 3200))).astype(np.float32))
+        tc = jnp.asarray((0.5 * rng.standard_normal((2, 1, 3200))).astype(np.float32))
+        m = jnp.asarray(masks.make_token_loss_mask(
+            np.random.default_rng(3), 2, 10, 2, 0.5))
+        outs = []
+        for n in (1, 2):
+            head = plc_model.plc_head_init(jax.random.key(1), CFG, n_layers=n)
+            p = allpred_ar.CodecParams(base.audio_dac, base.tactile_dac, head)
+            y = plc_model.forward_step(p, CFG, a, tc, m).y_hat
+            assert bool(jnp.isfinite(y).all())
+            outs.append(np.asarray(y))
+        assert not np.allclose(outs[0], outs[1])
+
+    def test_stacked_checkpoint_roundtrip(self, tmp_path):
+        from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+            checkpoint as ckpt)
+
+        head = plc_model.plc_head_init(jax.random.key(1), CFG, n_layers=3)
+        path = str(tmp_path / "h.msgpack")
+        ckpt.save_checkpoint(path, head, 1, {})
+        template = plc_model.plc_head_init(jax.random.key(2), CFG, n_layers=3)
+        loaded, ep, _ = ckpt.load_checkpoint_tolerant(path, template)
+        assert ep == 1
+        for a_, b_ in zip(jax.tree.leaves(head), jax.tree.leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+
+    def test_n_layers_meta_roundtrip(self, tmp_path):
+        from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+            asdict_jsonable)
+        from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import (
+            plc_config_from_meta)
+        from multimodal_vqvae_compression_audio_tactile_tpu.utils import (
+            artifacts)
+
+        pcfg = PLCConfig(n_layers=3, mask_embed=True)
+        artifacts.write_meta(str(tmp_path), {"plc": asdict_jsonable(pcfg)})
+        assert plc_config_from_meta(str(tmp_path)).n_layers == 3
+
+
 class TestPLCTrainResume:
     def test_resume_continues_epochs_and_history(self, tmp_path):
         from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
