@@ -83,8 +83,11 @@ def main() -> None:
                          "BOTH PLC models trained + evaluated; skips the codec "
                          "sweep, VC-PWQ coding and the codec benchmark (for "
                          "PLC-recipe iterations against an existing root)")
+    ap.add_argument("--plc-eval-files", type=int, default=0,
+                    help="evaluate the PLC models on an evenly-spaced subset "
+                         "of N eval pairs (0 = all; evals dominate CPU runs)")
     args = ap.parse_args()
-    if args.only_plc_category or args.only_plc:
+    if args.only_plc_category:
         args.plc_category = True
     # phase gates: which of sweep / uniform-PLC / codec-benchmark to run
     args.do_uniform_plc = not args.only_plc_category
@@ -375,18 +378,24 @@ def main() -> None:
         return allpred_ar.CodecParams(backbones["audio"],
                                       backbones["tactile"], h), p
 
+    plc_eval_pairs = eval_pairs
+    if args.plc_eval_files and len(eval_pairs) > args.plc_eval_files:
+        import numpy as _np
+        sel = _np.linspace(0, len(eval_pairs) - 1,
+                           args.plc_eval_files).astype(int)
+        plc_eval_pairs = [eval_pairs[i] for i in sel]
     plc_summary = None
     if args.do_uniform_plc:
         plc_params, p_uni = load_plc_params(plc_dir)
         t0 = time.time()
-        plc_summary = eval_plc_uniform(plc_params, cfg, eval_pairs, plc_dir,
-                                       p_uni, ecfg, seed=args.seed)
+        plc_summary = eval_plc_uniform(plc_params, cfg, plc_eval_pairs,
+                                       plc_dir, p_uni, ecfg, seed=args.seed)
         print(f"[demo] PLC eval in {time.time()-t0:.0f}s", flush=True)
 
     if args.plc_category:
         cat_params, p_cat = load_plc_params(plc_cat_dir)
         t0 = time.time()
-        eval_plc_categories(cat_params, cfg, eval_pairs, plc_cat_dir,
+        eval_plc_categories(cat_params, cfg, plc_eval_pairs, plc_cat_dir,
                             p_cat, ecfg, seed=args.seed)
         print(f"[demo] category PLC eval in {time.time()-t0:.0f}s", flush=True)
 
