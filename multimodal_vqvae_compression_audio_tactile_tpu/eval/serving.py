@@ -150,3 +150,76 @@ class StreamingCodec:
             "encode_ms_per_batch": enc_dt * 1000.0,
             "decode_ms_per_batch": dec_dt * 1000.0,
         }
+
+
+class StreamingConcealer:
+    """Persistent compiled packet-loss concealment over fixed batched shapes.
+
+    The receiver-side PLC hot path (plc/model.py::conceal): audio waveform +
+    the received tactile latent stream (lost tokens zeroed) + the loss mask
+    -> concealed tactile waveform. One jitted program, params as arguments,
+    optional mesh for multi-chip serving — the same serving conventions as
+    StreamingCodec. The reference runs PLC only inside evaluation scripts
+    (PLC/PLC1_eval.py); a deployable concealment server is beyond-reference.
+    """
+
+    def __init__(self, params: allpred_ar.CodecParams, cfg: CodecConfig,
+                 batch: int, frame_sec: float = 1.0,
+                 mask_embed: bool = False,
+                 compute_dtype=jnp.bfloat16, fast: bool = True,
+                 mesh=None):
+        self.cfg = cfg = cfg.fast_serving() if fast else cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            if batch % mesh.shape[pmesh.DATA_AXIS] != 0:
+                raise ValueError(
+                    f"batch {batch} not divisible by data axis "
+                    f"{mesh.shape[pmesh.DATA_AXIS]}")
+            params = allpred_ar.CodecParams(
+                *pmesh.shard_replicated(mesh, tuple(params)))
+            self._put = lambda x: pmesh.shard_batch(mesh, x)
+        else:
+            params = jax.device_put(params)
+            self._put = jax.device_put
+        self.params = params
+        self.batch = batch
+        self.frame = int(frame_sec * cfg.dac.sample_rate)
+        self.t_lat = self.frame // cfg.dac.hop
+        cdt = compute_dtype
+
+        from ..plc.model import conceal as plc_model_conceal
+
+        @jax.jit
+        def _conceal(p, a, zt, mask):
+            y = plc_model_conceal(p, cfg, a.astype(cdt), zt.astype(cdt),
+                                  mask, mask_embed=mask_embed)
+            return y.astype(jnp.float32)
+
+        self._conceal = lambda a, zt, m: _conceal(
+            self.params, self._put(a), self._put(zt), self._put(m))
+        # warmup/compile
+        a = jnp.zeros((batch, 1, self.frame), jnp.float32)
+        zt = jnp.zeros((batch, cfg.dac.latent_dim, self.t_lat), jnp.float32)
+        m = jnp.zeros((batch, self.t_lat), bool)
+        jax.block_until_ready(self._conceal(a, zt, m))
+
+    def conceal(self, a, zt_received, mask_tokens):
+        """a [B,1,frame], zt_received [B,C,T_lat] (lost tokens zeroed),
+        mask_tokens [B,T_lat] bool -> concealed tactile [B,1,frame]."""
+        return self._conceal(a, zt_received, mask_tokens)
+
+    def throughput_frames_per_sec(self, repeats: int = 20) -> dict:
+        a = jnp.zeros((self.batch, 1, self.frame), jnp.float32)
+        zt = jnp.zeros((self.batch, self.cfg.dac.latent_dim, self.t_lat),
+                       jnp.float32)
+        m = jnp.zeros((self.batch, self.t_lat), bool)
+        jax.block_until_ready(self._conceal(a, zt, m))
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            y = self._conceal(a, zt, m)
+        jax.block_until_ready(y)
+        dt = (time.perf_counter() - t0) / repeats
+        return {"batch": self.batch,
+                "conceal_frames_per_sec": self.batch / dt,
+                "conceal_ms_per_batch": dt * 1000.0}

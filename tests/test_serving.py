@@ -75,3 +75,55 @@ def test_streaming_codec_commits_numpy_params_once():
                         fast=False)
     leaves = jax.tree_util.tree_leaves(sc.params)
     assert all(isinstance(l, jax.Array) for l in leaves)
+
+
+class TestStreamingConcealer:
+    def test_conceal_matches_model_forward(self):
+        from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving import (
+            StreamingConcealer)
+        from multimodal_vqvae_compression_audio_tactile_tpu.models import dac
+        from multimodal_vqvae_compression_audio_tactile_tpu.plc import masks
+        from multimodal_vqvae_compression_audio_tactile_tpu.plc import (
+            model as plc_model)
+
+        base = allpred_ar.codec_init(jax.random.key(0), CFG)
+        head = plc_model.plc_head_init(jax.random.key(1), CFG, n_layers=2)
+        params = allpred_ar.CodecParams(base.audio_dac, base.tactile_dac, head)
+        rng = np.random.default_rng(7)
+        a = (0.4 * rng.standard_normal((2, 1, 3200))).astype(np.float32)
+        tc = (0.4 * rng.standard_normal((2, 1, 3200))).astype(np.float32)
+        zt = dac.encode(params.tactile_dac, CFG.dac, jnp.asarray(tc))
+        m = masks.make_token_loss_mask(np.random.default_rng(3), 2, 10, 2, 0.5)
+
+        scn = StreamingConcealer(params, CFG, batch=2,
+                                 frame_sec=3200 / 24000, mask_embed=True,
+                                 compute_dtype=jnp.float32, fast=False)
+        y = scn.conceal(a, np.asarray(zt), m)
+        assert y.shape == (2, 1, 3200) and bool(jnp.isfinite(y).all())
+        # matches the model-level conceal path (fp32, no fast serving)
+        y_ref = plc_model.conceal(params, CFG, jnp.asarray(a), zt,
+                                  jnp.asarray(m), mask_embed=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-5)
+        stats = scn.throughput_frames_per_sec(repeats=2)
+        assert stats["conceal_frames_per_sec"] > 0
+
+    def test_meshed_concealer_runs(self):
+        from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving import (
+            StreamingConcealer)
+        from multimodal_vqvae_compression_audio_tactile_tpu.parallel import (
+            mesh as pm)
+        from multimodal_vqvae_compression_audio_tactile_tpu.plc import (
+            model as plc_model)
+
+        base = allpred_ar.codec_init(jax.random.key(0), CFG)
+        head = plc_model.plc_head_init(jax.random.key(1), CFG)
+        params = allpred_ar.CodecParams(base.audio_dac, base.tactile_dac, head)
+        scn = StreamingConcealer(params, CFG, batch=8,
+                                 frame_sec=3200 / 24000,
+                                 mesh=pm.create_mesh())
+        a = np.zeros((8, 1, 3200), np.float32)
+        zt = np.zeros((8, CFG.dac.latent_dim, 10), np.float32)
+        m = np.zeros((8, 10), bool)
+        y = scn.conceal(a, zt, m)
+        assert y.shape == (8, 1, 3200) and bool(jnp.isfinite(y).all())
