@@ -69,6 +69,29 @@ def build_latent_cache(backbones: dict, cfg: CodecConfig,
                        jnp.concatenate(tcs))
 
 
+def save_cache(path: str, cache: LatentCache) -> None:
+    """Persist a latent cache as .npz (qa/zt/tc arrays).
+
+    Useful on CPU hosts where the encoder pass over a large corpus takes
+    tens of minutes per process restart; the cache depends on the backbone
+    weights AND the corpus, so the CALLER owns invalidation (delete the
+    file when either changes)."""
+    import numpy as np
+
+    np.savez(path, qa=np.asarray(cache.qa), zt=np.asarray(cache.zt),
+             tc=np.asarray(cache.tc))
+
+
+def load_cache(path: str) -> LatentCache:
+    """Load a save_cache() .npz as a device-resident LatentCache."""
+    import numpy as np
+
+    with np.load(path) as z:
+        return LatentCache(jax.device_put(jnp.asarray(z["qa"])),
+                           jax.device_put(jnp.asarray(z["zt"])),
+                           jax.device_put(jnp.asarray(z["tc"])))
+
+
 @partial(jax.jit, static_argnames=("seg_tok", "hop"))
 def gather_crops(cache: LatentCache, idx: jax.Array, tok0: jax.Array,
                  seg_tok: int, hop: int):

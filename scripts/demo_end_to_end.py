@@ -83,6 +83,11 @@ def main() -> None:
                          "BOTH PLC models trained + evaluated; skips the codec "
                          "sweep, VC-PWQ coding and the codec benchmark (for "
                          "PLC-recipe iterations against an existing root)")
+    ap.add_argument("--cache-file", default="",
+                    help="persist/reuse the latent cache as .npz at this "
+                         "path (CPU restarts rebuild it in ~25 min "
+                         "otherwise; caller owns invalidation when the "
+                         "backbone or corpus changes)")
     ap.add_argument("--plc-eval-files", type=int, default=0,
                     help="evaluate the PLC models on an evenly-spaced subset "
                          "of N eval pairs (0 = all; evals dominate CPU runs)")
@@ -220,10 +225,19 @@ def main() -> None:
                 yield (_np.stack([a[..., :L] for a, _ in arrs]),
                        _np.stack([t[..., :L] for _, t in arrs]))
 
-        cache = lc.build_latent_cache(backbones, cfg, full_batches(),
-                                      log=print)
-        print(f"[demo] latent cache built in {time.time()-t0:.0f}s "
-              f"({cache.qa.shape})", flush=True)
+        if args.cache_file and os.path.exists(args.cache_file):
+            cache = lc.load_cache(args.cache_file)
+            print(f"[demo] latent cache loaded from {args.cache_file} "
+                  f"({cache.qa.shape})", flush=True)
+        else:
+            cache = lc.build_latent_cache(backbones, cfg, full_batches(),
+                                          log=print)
+            print(f"[demo] latent cache built in {time.time()-t0:.0f}s "
+                  f"({cache.qa.shape})", flush=True)
+            if args.cache_file:
+                lc.save_cache(args.cache_file, cache)
+                print(f"[demo] latent cache saved to {args.cache_file}",
+                      flush=True)
         tr_stems = {s for _, _, s in tr}
         tr_rows = [i for i, (_, _, s) in enumerate(pairs) if s in tr_stems]
         va_rows = [i for i, (_, _, s) in enumerate(pairs)
