@@ -303,3 +303,21 @@ class TestResumeScheduleOffset:
         expected = 1e-4 + 0.5 * (1e-3 - 1e-4) * (
             1.0 + np.cos(np.pi * 9 / 10))
         assert resumed == pytest.approx(expected, rel=0.05)
+
+
+class TestLatentCachePersistence:
+    def test_save_load_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+            latent_cache as lc)
+
+        c = lc.LatentCache(jnp.arange(120, dtype=jnp.float32).reshape(3, 4, 10),
+                           jnp.zeros((3, 4, 10)),
+                           jnp.full((3, 1, 40), 0.5))
+        p = str(tmp_path / "cache.npz")
+        lc.save_cache(p, c)
+        c2 = lc.load_cache(p)
+        for a, b in zip(c, c2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert isinstance(b, jax.Array)
