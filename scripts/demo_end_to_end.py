@@ -209,7 +209,7 @@ def main() -> None:
 
     sweep_train_it, sweep_val_it, sweep_steps = train_it, val_it, None
     cache = tr_rows = va_rows = seg_tok = n_val = None
-    if args.cached_heads and args.do_uniform_plc:
+    if args.cached_heads and (args.do_uniform_plc or args.plc_category):
         from multimodal_vqvae_compression_audio_tactile_tpu.train import (
             latent_cache as lc)
         t0 = time.time()
