@@ -383,12 +383,16 @@ def main() -> None:
 
     # ---- 5c. PLC eval ------------------------------------------------------
     def load_plc_params(run_dir):
-        # the template must match the trained predictor depth (meta-driven)
+        # the template must match the trained predictor depth (meta-driven);
+        # best -> last fallback: interrupted or resumed-with-worse-val runs
+        # may never write best.msgpack
         p = plc_config_from_meta(run_dir)
         template = plc_model.plc_head_init(jax.random.key(0), cfg,
                                            n_layers=p.n_layers)
-        h, _, _ = ckpt.load_checkpoint_tolerant(
-            os.path.join(run_dir, "best.msgpack"), template)
+        path = os.path.join(run_dir, "best.msgpack")
+        if not os.path.exists(path):
+            path = os.path.join(run_dir, "last.msgpack")
+        h, _, _ = ckpt.load_checkpoint_tolerant(path, template)
         return allpred_ar.CodecParams(backbones["audio"],
                                       backbones["tactile"], h), p
 
