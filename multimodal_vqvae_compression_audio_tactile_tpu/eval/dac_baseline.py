@@ -21,7 +21,7 @@ from ..dsp.resample import resample
 from ..models import dac
 from ..utils.wav_io import load_wav_mono
 from . import metrics as M
-from .latency import buffer_delay_ms, measure_codec_latency
+from .latency import buffer_delay_ms, measure_codec_latency_stats
 
 
 def probe_tokens_per_sec(params: dict, cfg: DacConfig) -> float:
@@ -75,8 +75,11 @@ def eval_backbone_codec(
             return dac.decode(params, cfg, zq)
 
         if latency_map is not None and str(n_q) in latency_map:
-            enc_ms = latency_map[str(n_q)]["enc_ms"]
-            dec_ms = latency_map[str(n_q)]["dec_ms"]
+            lat = latency_map[str(n_q)]
+            enc_ms = lat.get("enc_p50_ms", lat.get("enc_ms"))
+            dec_ms = lat.get("dec_p50_ms", lat.get("dec_ms"))
+            enc_p95 = lat.get("enc_p95_ms", float("nan"))
+            dec_p95 = lat.get("dec_p95_ms", float("nan"))
         else:
             # same protocol as scripts/measure_latencies.py: time the
             # fast-serving bf16 config (the reference times under AMP,
@@ -85,12 +88,14 @@ def eval_backbone_codec(
             import dataclasses
             scfg = dataclasses.replace(cfg, precision="default",
                                        fused_resunits=True)
-            enc_ms, dec_ms = measure_codec_latency(
+            enc_st, dec_st = measure_codec_latency_stats(
                 lambda a, t, n_q=n_q: dac.encode_quantized(params, scfg, t,
                                                            n_quantizers=n_q)[0],
                 lambda z: dac.decode(params, scfg, z),
                 sr_native=cfg.sample_rate,
                 warmup=ecfg.latency_warmup, repeats=ecfg.latency_repeats)
+            enc_ms, dec_ms = enc_st["p50"], dec_st["p50"]
+            enc_p95, dec_p95 = enc_st["p95"], dec_st["p95"]
 
         st_vals, ps_vals = [], []
         for idxs, _A, T in equal_length_batches(prepared, forward_batch):
@@ -119,6 +124,8 @@ def eval_backbone_codec(
             "n": len(ps_vals), "tps": tps, "bins": cfg.codebook_size,
             "encoding_delay_ms": enc_ms,
             "decoding_delay_ms": dec_ms,
+            "encoding_delay_p95_ms": enc_p95,
+            "decoding_delay_p95_ms": dec_p95,
             "buffer_delay_ms": buf_ms,
         }
     return out

@@ -54,18 +54,37 @@ def measure_codec_latency(
     warmup: int = 3,
     repeats: int = 10,
 ) -> Tuple[float, float]:
-    """(encode_ms, decode_ms) for a 1-second dummy audio+tactile pair.
+    """(encode_ms, decode_ms) means for a 1-second dummy audio+tactile pair.
 
     encode_fn(a, t) -> latents; decode_fn(latents) -> waveform.
+    """
+    enc, dec = measure_codec_latency_stats(encode_fn, decode_fn, sr_native,
+                                           warmup, repeats)
+    return enc["mean"], dec["mean"]
+
+
+def measure_codec_latency_stats(
+    encode_fn: Callable[[object, object], object],
+    decode_fn: Callable[[object], object],
+    sr_native: int = 24000,
+    warmup: int = 3,
+    repeats: int = 10,
+) -> Tuple[dict, dict]:
+    """(encode_stats, decode_stats) distributions for the 1-second protocol.
+
+    Single-shot latency on this dispatch-bound runtime jitters 2x between
+    calls (docs/SERVING_LATENCY.md), so per-run eval columns report the p50
+    of ``repeats`` timed calls rather than one noisy sample (round-2 VERDICT
+    weak #3). Stats dict: mean/p50/p95/min/max ms.
     """
     import jax.numpy as jnp
 
     a = jnp.zeros((1, 1, sr_native), jnp.float32)
     t = jnp.zeros((1, 1, sr_native), jnp.float32)
     z = jax.block_until_ready(encode_fn(a, t))
-    enc_ms = measure_ms(lambda: encode_fn(a, t), warmup, repeats)
-    dec_ms = measure_ms(lambda: decode_fn(z), warmup, repeats)
-    return enc_ms, dec_ms
+    enc = measure_ms_stats(lambda: encode_fn(a, t), warmup, repeats)
+    dec = measure_ms_stats(lambda: decode_fn(z), warmup, repeats)
+    return enc, dec
 
 
 def buffer_delay_ms(tokens_per_sec: float) -> float:

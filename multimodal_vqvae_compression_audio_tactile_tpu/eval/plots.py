@@ -82,18 +82,35 @@ def rate_distortion_plots(dac24: dict, proposed: Sequence[dict],
         _one_rd_plot(dac24, proposed, vc, metric, ylabel, p, ylim)
         outs.append(p)
 
-    # compression-ratio variants
+    # compression-ratio variants — all three systems, like the kbps figures
+    # (reference plots 3/4 include the DAC 24k and VC-PWQ errorbar curves,
+    # Evaluation/dac_vcpwq_proposed6_latency.py:1264-1309)
     def cr_axis(rows):
         return [r["compression_ratio"] for r in rows]
 
+    dac_rows = sorted((dac24 or {}).values(),
+                      key=lambda r: r.get("compression_ratio") or 0)
+    dac_rows = [r for r in dac_rows if r.get("compression_ratio")]
+    vc_rows = sorted([r for r in (vc or []) if r.get("compression_ratio")],
+                     key=lambda r: r["compression_ratio"])
     for metric, ylabel, fname in [("stsim", "ST-SIM", "stsim_vs_cr.png"),
                                   ("psnr", "PSNR (dB)", "psnr_vs_cr.png")]:
         plt.figure(figsize=(9, 6))
+        if dac_rows:
+            _errfill(cr_axis(dac_rows),
+                     [r[f"{metric}_mean"] for r in dac_rows],
+                     [r[f"{metric}_ci95"] for r in dac_rows],
+                     "DAC-class backbone", "s")
         for embed, rows in _group_by_embed(proposed).items():
             rows = sorted(rows, key=lambda r: r["compression_ratio"] or 0)
             _errfill(cr_axis(rows), [r[f"{metric}_mean"] for r in rows],
                      [r[f"{metric}_ci95"] for r in rows],
                      f"Proposed K={embed}", EMBED_MARKERS.get(embed, "x"))
+        if vc_rows:
+            _errfill(cr_axis(vc_rows),
+                     [r[f"{metric}_mean"] for r in vc_rows],
+                     [r[f"{metric}_ci95"] for r in vc_rows],
+                     "VC-PWQ", "v")
         plt.xlabel("Compression ratio (x)")
         plt.ylabel(ylabel)
         plt.grid(True, alpha=0.4)
@@ -103,6 +120,33 @@ def rate_distortion_plots(dac24: dict, proposed: Sequence[dict],
         plt.savefig(p, dpi=150)
         plt.close()
         outs.append(p)
+
+    # figure 5: compression ratio vs bitrate, all three systems (reference
+    # Evaluation/dac_vcpwq_proposed6_latency.py:1314-1341 — plain lines,
+    # no error bars: CR is deterministic given the rate)
+    plt.figure(figsize=(9, 6))
+    for embed, rows in _group_by_embed(proposed).items():
+        rows = [r for r in rows if r.get("compression_ratio")]
+        plt.plot([r["kbps"] for r in rows], cr_axis(rows),
+                 EMBED_MARKERS.get(embed, "x") + "-", lw=2.0, ms=6,
+                 label=f"Proposed K={embed}")
+    if dac_rows:
+        d = sorted(dac_rows, key=lambda r: r["kbps"])
+        plt.plot([r["kbps"] for r in d], cr_axis(d), "s-", lw=2.0, ms=6,
+                 label="DAC-class backbone")
+    if vc_rows:
+        v = sorted(vc_rows, key=lambda r: r["kbps"])
+        plt.plot([r["kbps"] for r in v], cr_axis(v), "v-", lw=2.0, ms=6,
+                 label="VC-PWQ")
+    plt.xlabel("Bitrate (kbps)")
+    plt.ylabel("Compression ratio (x)")
+    plt.grid(True, alpha=0.4)
+    plt.legend()
+    plt.tight_layout()
+    p = os.path.join(out_dir, "cr_vs_bitrate.png")
+    plt.savefig(p, dpi=150)
+    plt.close()
+    outs.append(p)
     return outs
 
 

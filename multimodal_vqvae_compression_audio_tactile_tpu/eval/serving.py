@@ -92,6 +92,10 @@ class StreamingCodec:
         self._decode_codes = lambda a, c: _decode_codes(self.params,
                                                         self._put(a),
                                                         self._put(c))
+        # inner jitted programs kept for roofline cost analysis (utils/
+        # roofline.py lowers them at the serving shapes)
+        self._encode_jit = _encode
+        self._decode_jit = _decode
         # warmup/compile
         a = jnp.zeros((batch, 1, self.frame), jnp.float32)
         t = jnp.zeros((batch, 1, self.frame), jnp.float32)
@@ -123,6 +127,22 @@ class StreamingCodec:
         """Full receiver: audio + 'RVQ1' byte streams -> tactile waveforms."""
         codes = np.stack([bitstream.unpack_codes(s) for s in streams])
         return self._decode_codes(a, jnp.asarray(codes))
+
+    def cost_analysis(self) -> dict:
+        """XLA-compiled FLOPs/bytes for the encode and decode programs at this
+        wrapper's shapes: {"encode": {flops, bytes}, "decode": ...}. NaN
+        fields when the backend exposes no cost model (utils/roofline.py)."""
+        from ..utils import roofline
+
+        a = jnp.zeros((self.batch, 1, self.frame), jnp.float32)
+        t = jnp.zeros((self.batch, 1, self.frame), jnp.float32)
+        z, _ = self._encode(a, t)
+        return {
+            "encode": roofline.compiled_cost(self._encode_jit, self.params,
+                                             a, t),
+            "decode": roofline.compiled_cost(self._decode_jit, self.params,
+                                             z),
+        }
 
     def throughput_frames_per_sec(self, repeats: int = 20) -> dict:
         """Sustained batched frames/sec/chip for encode and decode."""

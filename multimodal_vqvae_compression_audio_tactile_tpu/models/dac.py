@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from ..core.config import DacConfig
 from ..core.precision import matmul_precision
+from ..ops import rvq
 
 
 # ---------------------------------------------------------------- conv helpers
@@ -351,7 +352,6 @@ def quantizer_dead_code_reinit(
     x = jax.lax.stop_gradient(x)
     N = B * T
     uniform = N / K
-    thresh = dead_frac * uniform
     book_keys = jax.random.split(key, n_books)
 
     def body(carry, book):
@@ -364,16 +364,12 @@ def quantizer_dead_code_reinit(
         idx = jnp.argmax(scores, axis=1)
         batch_counts = jax.ops.segment_sum(jnp.ones((N,), jnp.float32), idx,
                                            num_segments=K)
-        first = jnp.sum(cnt) <= 0.0
-        new_cnt = jnp.where(first, batch_counts,
-                            decay * cnt + (1.0 - decay) * batch_counts)
-        dead = new_cnt < thresh
-        ks, kn = jax.random.split(bkey)
-        samp = jax.random.choice(ks, N, (K,), replace=True)
-        seeds = e[samp] + 1e-3 * jnp.std(e) * jax.random.normal(
-            kn, (K, cd), jnp.float32)
-        new_cb = jnp.where(dead[:, None], seeds, cb)
-        new_cnt = jnp.where(dead, uniform, new_cnt)
+        # tracking + reseed share ops/rvq.py's core (single implementation of
+        # the dead-code mechanism across both RVQs); only the quantization
+        # geometry (factorized projection + cosine argmax) differs here
+        new_cb, new_cnt = rvq.track_counts_and_reinit(
+            cb, cnt, e, batch_counts, bkey, decay=decay,
+            dead_frac=dead_frac, uniform_share=uniform)
         # residual chain advances with the PRE-reinit codes (what the
         # quantizer actually used this step)
         z_b = jnp.dot(cb[idx], out_p,

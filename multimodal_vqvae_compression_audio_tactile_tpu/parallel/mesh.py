@@ -20,6 +20,7 @@ collective on the slowest link). ``distributed_init`` wraps
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -49,12 +50,30 @@ def distributed_init(coordinator_address: Optional[str] = None,
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
                 num_processes=num_processes, process_id=process_id)
-        elif jax.process_count() == 1 and coordinator_address is None:
-            # single process, nothing to initialize
-            pass
-    except RuntimeError:
-        pass  # already initialized
+        elif _in_multiprocess_env():
+            # TPU pod / SLURM / OpenMPI launch: jax auto-detects all three
+            # arguments from the cluster environment. A bare
+            # distributed_init() must still initialize here, otherwise each
+            # pod process stays single-process and sees only local devices.
+            jax.distributed.initialize()
+    except (RuntimeError, ValueError):
+        pass  # already initialized, or auto-detection found no cluster
     return jax.process_count()
+
+
+_POD_ENV_VARS = (
+    "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice TPU
+    "TPU_WORKER_HOSTNAMES",           # GCE TPU pod
+    "CLOUD_TPU_TASK_ID",
+    "JAX_COORDINATOR_ADDRESS",
+    "SLURM_JOB_NUM_NODES",
+    "OMPI_COMM_WORLD_SIZE",
+)
+
+
+def _in_multiprocess_env() -> bool:
+    """True when a cluster launcher's environment is visible (pod run)."""
+    return any(os.environ.get(v) for v in _POD_ENV_VARS)
 
 
 def create_mesh(

@@ -273,6 +273,12 @@ def train_plc(
     if resumed_hist:
         hist.update({k: list(v) for k, v in resumed_hist.items()
                      if k in hist})
+        # pad series missing from a pre-schema hist (lat/tmse/
+        # val_masked_snr_db) with NaN so all lists stay epoch-aligned
+        n_ep = len(hist["train"])
+        for k, v in hist.items():
+            if len(v) < n_ep:
+                hist[k] = [float("nan")] * (n_ep - len(v)) + list(v)
         if hist["val"]:
             best_val = min(hist["val"])
     mask_rng = np.random.default_rng(seed)

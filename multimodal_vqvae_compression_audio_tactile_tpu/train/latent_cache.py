@@ -107,12 +107,28 @@ def gather_crops(cache: LatentCache, idx: jax.Array, tok0: jax.Array,
     return jax.vmap(one)(idx, tok0)
 
 
+def _crop_range(t_tok_total: int, seg_tok: int) -> tuple[int, int]:
+    """Valid [lo, hi) token-offset range for a seg_tok crop.
+
+    Raises instead of clamping: a too-short cache would otherwise make
+    gather_crops' dynamic_slice silently clamp the start and return
+    shifted/duplicated crops — corrupting cached-path training.
+    """
+    if t_tok_total < seg_tok + 2 * EDGE_TOKENS:
+        raise ValueError(
+            f"cache too short: t_tok_total={t_tok_total} < seg_tok={seg_tok}"
+            f" + 2*EDGE_TOKENS={2 * EDGE_TOKENS}")
+    # hi is exclusive; when the cache is exactly minimal there is one valid
+    # offset (EDGE_TOKENS), whose crop still ends EDGE_TOKENS from the end
+    return EDGE_TOKENS, max(EDGE_TOKENS + 1,
+                            t_tok_total - seg_tok - EDGE_TOKENS)
+
+
 def crop_indices(n_pairs: int, t_tok_total: int, seg_tok: int, batch: int,
                  steps: int, seed: int, epoch: int):
     """Deterministic (idx [B], tok0 [B]) pairs per step for one epoch."""
     rng = np.random.default_rng((seed, epoch))
-    hi = max(1, t_tok_total - seg_tok - EDGE_TOKENS)
-    lo = min(EDGE_TOKENS, hi - 1)
+    lo, hi = _crop_range(t_tok_total, seg_tok)
     for _ in range(steps):
         idx = rng.integers(0, n_pairs, size=batch)
         tok0 = rng.integers(lo, hi, size=batch)
@@ -130,8 +146,7 @@ def crop_index_arrays(rows: Sequence[int], t_tok_total: int, seg_tok: int,
     """
     rows = np.asarray(rows, np.int32)
     rng = np.random.default_rng((seed, epoch))
-    hi = max(1, t_tok_total - seg_tok - EDGE_TOKENS)
-    lo = min(EDGE_TOKENS, hi - 1)
+    lo, hi = _crop_range(t_tok_total, seg_tok)
     idx = rng.integers(0, rows.shape[0], size=(steps, batch))
     tok0 = rng.integers(lo, hi, size=(steps, batch)).astype(np.int32)
     return rows[idx], tok0

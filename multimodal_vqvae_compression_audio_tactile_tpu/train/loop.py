@@ -277,6 +277,16 @@ def train_codec(
             last_path, head)
         start_epoch = last_epoch + 1
         log(f"[resume] from {last_path} at epoch {last_epoch}")
+        if "vq_counts" in head and not np.any(np.asarray(head["vq_counts"])):
+            # pre-schema checkpoint: the tolerant load filled vq_counts with
+            # template zeros, and all-zero counts trip ema_update_with_reinit's
+            # first-step "adopt batch stats" branch — reseeding every trained
+            # code the first batch misses. Warm-start high (same guard as
+            # train/pretrain_backbone.py) so reseeding re-arms only after the
+            # EMA decays to true usage.
+            head = dict(head)
+            head["vq_counts"] = head["vq_counts"] + 100.0
+            log("[resume] pre-schema checkpoint: warm-started vq_counts=100")
 
     use_scan = cache is not None
     if use_scan:
@@ -329,6 +339,12 @@ def train_codec(
             "vq_bits": [], "vq_bits_min": [], "vq_used": []}
     if resumed_hist:
         hist.update({k: list(v) for k, v in resumed_hist.items()})
+        # pad metric series a pre-schema hist lacks (e.g. vq_bits) with NaN so
+        # every list stays epoch-aligned after resume
+        n_ep = len(hist["train"])
+        for k, v in hist.items():
+            if len(v) < n_ep:
+                hist[k] = [float("nan")] * (n_ep - len(v)) + list(v)
         if hist["val"]:
             best_val = min(hist["val"])
         # the LR schedule counts optimizer steps: fast-forward the counter

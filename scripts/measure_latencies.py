@@ -11,8 +11,11 @@ fencing), then prints the map for the evaluators to consume.
     python scripts/measure_latencies.py --backbone CKPT --sweep-root DIR \
         [--nq 1,2,4,8] [--tiny]
 
-Output (stdout, last line): {"backbone": {"1": {"enc_ms":..,"dec_ms":..}, ...},
-                             "runs": {"rvqB6_K128": {...}, ...}}
+Output (stdout, last line): {"backbone": {"1": {"enc_ms":.., "dec_ms":..,
+"enc_p50_ms":.., "enc_p95_ms":.., "dec_p50_ms":.., "dec_p95_ms":..}, ...},
+"runs": {"rvqB6_K128": {...}, ...}}. The evaluators consume the p50 columns
+(round-2 VERDICT weak #3: single samples on this dispatch-bound runtime
+jitter 2x); enc_ms/dec_ms remain the means for older consumers.
 """
 
 import argparse
@@ -38,7 +41,7 @@ def main() -> None:
     from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
         CodecConfig)
     from multimodal_vqvae_compression_audio_tactile_tpu.eval.latency import (
-        measure_codec_latency)
+        measure_codec_latency_stats)
     from multimodal_vqvae_compression_audio_tactile_tpu.models import (
         allpred_ar, dac)
     from multimodal_vqvae_compression_audio_tactile_tpu.train import (
@@ -54,18 +57,23 @@ def main() -> None:
 
     out = {"backbone": {}, "runs": {}}
 
+    def _row(enc, dec):
+        return {"enc_ms": enc["mean"], "dec_ms": dec["mean"],
+                "enc_p50_ms": enc["p50"], "enc_p95_ms": enc["p95"],
+                "dec_p50_ms": dec["p50"], "dec_p95_ms": dec["p95"]}
+
     # backbone encode/decode at each n_q (the DAC-baseline evaluator rows);
     # quantizer latency is shape-independent of n_q only through `use`, so
     # measure each requested point like the reference does
     scfg_dac = cfg.fast_serving().dac
     for nq in (int(x) for x in args.nq.split(",")):
-        enc_ms, dec_ms = measure_codec_latency(
+        enc, dec = measure_codec_latency_stats(
             lambda a, t, n=nq: dac.encode_quantized(bb, scfg_dac, t,
                                                     n_quantizers=n)[0],
             lambda z: dac.decode(bb, scfg_dac, z))
-        out["backbone"][str(nq)] = {"enc_ms": enc_ms, "dec_ms": dec_ms}
-        print(f"[lat] backbone n_q={nq}: enc {enc_ms:.3f} dec {dec_ms:.3f}",
-              file=sys.stderr, flush=True)
+        out["backbone"][str(nq)] = _row(enc, dec)
+        print(f"[lat] backbone n_q={nq}: enc p50 {enc['p50']:.3f} "
+              f"dec p50 {dec['p50']:.3f}", file=sys.stderr, flush=True)
 
     if args.sweep_root:
         import os
@@ -80,14 +88,14 @@ def main() -> None:
             head, _, _ = ckpt.load_checkpoint_tolerant(ckpt_path, head_t)
             params = allpred_ar.CodecParams(bb, bb, head)
             scfg = rcfg.fast_serving()
-            enc_ms, dec_ms = measure_codec_latency(
+            enc, dec = measure_codec_latency_stats(
                 lambda a, t: allpred_ar.encode_latents(
                     params, scfg, a, t, n_books_use=books)[0],
                 lambda z: dac.decode(params.tactile_dac, scfg.dac, z))
             name = f"rvqB{books}_K{embed}"
-            out["runs"][name] = {"enc_ms": enc_ms, "dec_ms": dec_ms}
-            print(f"[lat] {name}: enc {enc_ms:.3f} dec {dec_ms:.3f}",
-                  file=sys.stderr, flush=True)
+            out["runs"][name] = _row(enc, dec)
+            print(f"[lat] {name}: enc p50 {enc['p50']:.3f} "
+                  f"dec p50 {dec['p50']:.3f}", file=sys.stderr, flush=True)
 
     print(json.dumps(out))
 
