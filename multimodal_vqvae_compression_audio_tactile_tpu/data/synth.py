@@ -102,14 +102,31 @@ def _colored_noise(rng: np.random.Generator, T: int, sr: int,
 
 def synth_pair(rng: np.random.Generator, dur_sec: float = 2.0,
                sr_audio: int = 44100, sr_tact: int = 3000,
-               material: Optional[int] = None):
+               material: Optional[int] = None,
+               decorrelate: float = 0.0, jitter_ms: float = 0.0):
     """One correlated (audio, tactile) pair.
 
     Returns (audio float32 peak-normalized [-1,1] @ sr_audio,
     tactile float32 raw-amplitude @ sr_tact).
+
+    Corpus-hardness knobs (round-2 VERDICT missing #3 — the default corpus'
+    fully shared excitation plausibly overstates audio->tactile
+    predictability vs the reference's recordings, where the proposed codec
+    LOSES to its DAC baseline at >=3 kbps):
+
+    - ``decorrelate`` in [0, 1]: fraction of contact events that are
+      per-modality INDEPENDENT — each non-shared tap is replaced by a fresh
+      independent draw in each modality (event rates unchanged), and the
+      shared contact-speed envelope is mixed ``(1-d)*shared + d*independent``
+      per modality. 0 = round-2 corpus (bit-identical rng stream), 1 = zero
+      cross-modal mutual information beyond class timbre statistics.
+    - ``jitter_ms``: gaussian per-modality timing jitter on the SHARED events
+      (sensor/actuator asynchrony); degrades sample-aligned predictability
+      without removing event co-occurrence.
     """
     cls = _CLASSES[int(material) if material is not None
                    else int(rng.integers(len(_CLASSES)))]
+    hard = decorrelate > 0.0 or jitter_ms > 0.0
 
     # ---- shared excitation on a common 3 kHz grid, then per-SR resample-free
     # re-render: impacts are re-drawn at each SR from the SAME event list so
@@ -119,31 +136,70 @@ def synth_pair(rng: np.random.Generator, dur_sec: float = 2.0,
     tap_t = rng.uniform(0, dur_sec, size=taps)
     tap_a = rng.uniform(0.4, 1.0, size=taps) * rng.choice([-1, 1], size=taps)
 
-    def impulse(sr: int, T: int) -> np.ndarray:
+    if hard:
+        # per-modality event lists: shared events keep identical (t, a);
+        # decorrelated slots are re-drawn independently per modality. All
+        # extra rng draws are gated behind `hard` so decorrelate=0 keeps the
+        # round-2 corpus bit-identical (same rng stream).
+        shared = rng.random(taps) >= decorrelate
+
+        def modality_events():
+            t, a = tap_t.copy(), tap_a.copy()
+            repl = ~shared
+            n_r = int(repl.sum())
+            if n_r:
+                t[repl] = rng.uniform(0, dur_sec, size=n_r)
+                a[repl] = rng.uniform(0.4, 1.0, size=n_r) * rng.choice(
+                    [-1.0, 1.0], size=n_r)
+            if jitter_ms > 0.0 and taps:
+                t = np.clip(t + rng.normal(0.0, jitter_ms / 1000.0,
+                                           size=taps), 0.0, dur_sec)
+            return t, a
+
+        ev_audio = modality_events()
+        ev_tact = modality_events()
+    else:
+        ev_audio = ev_tact = (tap_t, tap_a)
+
+    def impulse(sr: int, T: int, ev) -> np.ndarray:
+        ev_t, ev_a = ev
         tr = np.zeros(T)
-        idx = np.minimum((tap_t * sr).astype(int), T - 1)
-        np.add.at(tr, idx, tap_a)
+        idx = np.minimum((ev_t * sr).astype(int), T - 1)
+        np.add.at(tr, idx, ev_a)
         return tr
 
     # contact-speed envelope (shared; smooth positive, 10 Hz bandwidth)
-    env_grid = np.abs(lfilter([1 - 0.98], [1, -0.98],
-                              rng.standard_normal(max(T_t, 8))))
-    env_grid /= env_grid.max() + 1e-9
+    def draw_env() -> np.ndarray:
+        e = np.abs(lfilter([1 - 0.98], [1, -0.98],
+                           rng.standard_normal(max(T_t, 8))))
+        return e / (e.max() + 1e-9)
+
+    env_grid = draw_env()
+    if hard and decorrelate > 0.0:
+        def modality_env():
+            e = (1.0 - decorrelate) * env_grid + decorrelate * draw_env()
+            return e / (e.max() + 1e-9)
+        env_audio, env_tact = modality_env(), modality_env()
+    else:
+        env_audio = env_tact = env_grid
     t_grid = np.arange(T_t) / sr_tact
 
-    def render(sr: int, band, noise_pole: float, n_modes: int) -> np.ndarray:
+    def render(sr: int, band, noise_pole: float, n_modes: int, ev,
+               env_grid_m) -> np.ndarray:
         T = int(dur_sec * sr)
-        exc = impulse(sr, T)
+        exc = impulse(sr, T, ev)
         exc += _impact_train(rng, T, sr, cls["micro"], 0.05, 0.35)
         sig = _modal_bank(rng, exc, sr, band, cls["decay"], n_modes)
         t = np.arange(T) / sr
-        env = np.interp(t, t_grid, env_grid[:T_t])
+        env = np.interp(t, t_grid, env_grid_m[:T_t])
         sig += cls["noise_w"] * env * _colored_noise(rng, T, sr, noise_pole) \
             * (np.abs(sig).max() + 1e-9)
         return sig.astype(np.float32)
 
-    audio = render(sr_audio, cls["aband"], cls["npole"] * 4.0, n_modes=4)
-    tact = render(sr_tact, cls["tband"], cls["npole"], n_modes=3)
+    audio = render(sr_audio, cls["aband"], cls["npole"] * 4.0, n_modes=4,
+                   ev=ev_audio, env_grid_m=env_audio)
+    tact = render(sr_tact, cls["tband"], cls["npole"], n_modes=3,
+                  ev=ev_tact, env_grid_m=env_tact)
 
     # audio contract: peak-normalized to [-1, 1] (Dataset_creation_audio.py:31-37)
     audio = audio / (np.abs(audio).max() + 1e-9)
@@ -207,10 +263,13 @@ def stream_pretrain_batches(batch: int, seg: int = 24000, sr: int = 24000,
 
 
 def make_synth_corpus(root: str, n_pairs: int = 12, dur_sec: float = 2.0,
-                      seed: int = 7) -> List[Pair]:
+                      seed: int = 7, decorrelate: float = 0.0,
+                      jitter_ms: float = 0.0) -> List[Pair]:
     """Write a corpus under root/{audio,tactile}/pair_XXXX.wav; returns pairs.
 
     Material classes cycle C1..C8 so every corpus size covers all families.
+    ``decorrelate`` / ``jitter_ms``: corpus-hardness knobs (see synth_pair);
+    defaults keep the round-2 corpus bit-identical for a given seed.
     """
     audio_dir = os.path.join(root, "audio")
     tact_dir = os.path.join(root, "tactile")
@@ -219,7 +278,8 @@ def make_synth_corpus(root: str, n_pairs: int = 12, dur_sec: float = 2.0,
     rng = np.random.default_rng(seed)
     pairs = []
     for i in range(n_pairs):
-        a, t = synth_pair(rng, dur_sec=dur_sec, material=i % len(_CLASSES))
+        a, t = synth_pair(rng, dur_sec=dur_sec, material=i % len(_CLASSES),
+                          decorrelate=decorrelate, jitter_ms=jitter_ms)
         stem = f"pair_{i:04d}"
         ap = os.path.join(audio_dir, stem + ".wav")
         tp = os.path.join(tact_dir, stem + ".wav")

@@ -8,7 +8,7 @@ PSNR(global peak) / ST-SIM(SSIM) / MAE; per-category CSV + ``eval_cat_summary.js
 from __future__ import annotations
 
 import os
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import numpy as np
@@ -30,8 +30,11 @@ def eval_plc_categories(
     pcfg: PLCConfig = PLCConfig(),
     ecfg: EvalConfig = EvalConfig(),
     seed: int = 7,
+    dec_ft: Optional[dict] = None,
     log: Callable = print,
 ) -> dict:
+    """``dec_ft``: optional inpainting-fine-tuned tactile decoder for the
+    conceal path (see eval_uniform.eval_plc_file)."""
     os.makedirs(out_dir, exist_ok=True)
     params = jax.device_put(params)  # once: numpy jit args re-upload per call
     peak_global = M.compute_global_peak([t for _, t, _ in pairs])
@@ -49,7 +52,7 @@ def eval_plc_categories(
                     rng, 1, t_lat, tps, pcfg, category=cat)[0]
 
             row = eval_plc_file(params, cfg, ap, tp, mask_fn, peak_global, ecfg,
-                                mask_embed=pcfg.mask_embed)
+                                mask_embed=pcfg.mask_embed, dec_ft=dec_ft)
             rows.append(row)
         artifacts.write_csv(
             os.path.join(out_dir, f"eval_metrics_{cat}.csv"), rows, CSV_FIELDS)
@@ -65,6 +68,11 @@ def eval_plc_categories(
                 np.nanmean([r["psnr_masked_zero_db"] for r in rows])),
             "plc_gain_masked_db": float(
                 np.nanmean([r["psnr_masked_db"] - r["psnr_masked_zero_db"]
+                            for r in rows])),
+            "mean_psnr_masked_stockdec_db": float(
+                np.nanmean([r["psnr_masked_stockdec_db"] for r in rows])),
+            "dec_ft_gain_masked_db": float(
+                np.nanmean([r["psnr_masked_db"] - r["psnr_masked_stockdec_db"]
                             for r in rows])),
             "num_files": len(rows),
         }

@@ -37,6 +37,10 @@ CSV_FIELDS = [
     # beyond-reference: the zero-fill (no-concealment) floor on the same mask,
     # so the PLC benefit is a measured gain, not an absolute number
     "psnr_masked_zero_db", "stsim_global_zero",
+    # with an inpainting decoder (dec_ft): the same conceal fill decoded by
+    # the STOCK decoder, isolating the decoder lever from the predictor
+    # (NaN when no dec_ft is in play)
+    "psnr_masked_stockdec_db",
 ]
 
 
@@ -50,10 +54,15 @@ def eval_plc_file(
     ecfg: EvalConfig = EvalConfig(),
     return_signals: bool = False,
     mask_embed: bool = False,
+    dec_ft: Optional[dict] = None,
 ) -> dict:
     """One file through the PLC model with a deterministic mask; returns CSV row
     (plus aligned signals and the mask when return_signals=True, for pass 2).
-    ``mask_embed`` must match the run's training condition (meta.json)."""
+    ``mask_embed`` must match the run's training condition (meta.json).
+    ``dec_ft``: optional inpainting-fine-tuned tactile decoder
+    (plc/train.py::finetune_inpaint_decoder) used for the CONCEAL forward
+    only — the zero-fill baseline keeps the stock decoder (a receiver
+    without any PLC system)."""
     sr24 = cfg.dac.sample_rate
     a_raw, sr_a = load_wav_mono(a_path)
     t_raw, sr_t = load_wav_mono(t_path)
@@ -68,8 +77,11 @@ def eval_plc_file(
 
     t_lat = L // cfg.dac.hop
     latent_mask = mask_fn(t_lat)                        # [T_lat] bool
+    params_conceal = params if dec_ft is None else allpred_ar.CodecParams(
+        params.audio_dac, {**params.tactile_dac, "decoder": dec_ft},
+        params.head)
     out = plc_model.forward_step(
-        params, cfg, jnp.asarray(a24[None]), jnp.asarray(t24n[None]),
+        params_conceal, cfg, jnp.asarray(a24[None]), jnp.asarray(t24n[None]),
         jnp.asarray(latent_mask[None]), mask_embed=mask_embed)
     y_norm = np.asarray(out.y_hat)[0, 0]
     out0 = plc_model.forward_zero_fill(
@@ -97,6 +109,24 @@ def eval_plc_file(
     stsim_g0, _, _ = M.stsim_mel_with_mask(r0_a[0], e0_a[0], latent_mask,
                                            sr=ecfg.eval_sr)
 
+    # decoder-lever isolation: the SAME concealed fill through the stock
+    # decoder (cheap: one decode, reusing the predictor output — z_filled is
+    # reconstructable from PLCOut's z_pred/z_tgt/mask); NaN when no dec_ft
+    psnr_masked_stockdec = float("nan")
+    if dec_ft is not None:
+        from ..models import dac as _dac
+        m3 = jnp.asarray(latent_mask[None])[:, None, :]
+        z_filled = jnp.where(m3, out.z_pred, out.z_tgt * (~m3))
+        ys = np.asarray(_dac.decode(params.tactile_dac, cfg.dac,
+                                    z_filled))[0, 0]
+        ests = np.nan_to_num(ys, nan=0.0, posinf=0.0, neginf=0.0) * scale
+        rs_c, es_c = crop_match(ref24.reshape(1, -1), ests.reshape(1, -1))
+        rs_a, es_a, _ = align_by_xcorr(rs_c, es_c, ecfg.max_align_shift)
+        rs_a, es_a = crop_match(rs_a, es_a)
+        sms = M.token_mask_to_sample_mask(latent_mask, rs_a.shape[-1])
+        psnr_masked_stockdec = M.psnr_subset_db(rs_a[0], es_a[0], sms,
+                                                peak_global)
+
     ref_vec, est_vec = r_a[0], e_a[0]
     sm = M.token_mask_to_sample_mask(latent_mask, ref_vec.shape[0])
     extras = ({"_ref": ref_vec, "_est": est_vec, "_mask": latent_mask}
@@ -105,6 +135,7 @@ def eval_plc_file(
         **extras,
         "psnr_masked_zero_db": psnr_masked_zero,
         "stsim_global_zero": stsim_g0,
+        "psnr_masked_stockdec_db": psnr_masked_stockdec,
         "stem": os.path.splitext(os.path.basename(t_path))[0],
         "len_samples": int(ref_vec.shape[0]),
         "psnr_global_db": psnr_global,
@@ -129,6 +160,7 @@ def eval_plc_uniform(
     ecfg: EvalConfig = EvalConfig(),
     seed: int = 7,
     plot_top_k: int = 0,
+    dec_ft: Optional[dict] = None,
     log: Callable = print,
 ) -> dict:
     """Two-pass reference evaluator: (1) metrics over all pairs -> CSV + summary
@@ -148,7 +180,7 @@ def eval_plc_uniform(
                 rng, 1, t_lat, pcfg.packet_tok, pcfg.packet_loss_prob)[0]
 
         row = eval_plc_file(params, cfg, ap, tp, mask_fn, peak_global, ecfg,
-                            mask_embed=pcfg.mask_embed)
+                            mask_embed=pcfg.mask_embed, dec_ft=dec_ft)
         rows.append(row)
         log(f"[plc-eval {idx}/{len(pairs)}] {stem} "
             f"PSNR {row['psnr_global_db']:.2f} dB ST-SIM {row['stsim_global']:.4f}")
@@ -176,6 +208,13 @@ def eval_plc_uniform(
         "plc_gain_masked_db": float(
             np.nanmean([r["psnr_masked_db"] - r["psnr_masked_zero_db"]
                         for r in rows])),
+        # decoder-lever split (NaN without dec_ft): conceal-with-ft-decoder
+        # minus conceal-with-stock-decoder on identical fills
+        "mean_psnr_masked_stockdec_db": float(
+            np.nanmean([r["psnr_masked_stockdec_db"] for r in rows])),
+        "dec_ft_gain_masked_db": float(
+            np.nanmean([r["psnr_masked_db"] - r["psnr_masked_stockdec_db"]
+                        for r in rows])),
         "num_files": len(rows),
         "peak_global": peak_global,
     }
@@ -196,7 +235,7 @@ def eval_plc_uniform(
 
             row = eval_plc_file(params, cfg, ap, tp, mask_fn, peak_global, ecfg,
                                 return_signals=True,
-                                mask_embed=pcfg.mask_embed)
+                                mask_embed=pcfg.mask_embed, dec_ft=dec_ft)
             plot_plc_example(out_dir, stem, row["_ref"], row["_est"],
                              row["_mask"], sr=ecfg.eval_sr)
     return summary

@@ -183,6 +183,196 @@ def make_plc_train_step(cfg: CodecConfig, tcfg: TrainConfig,
     return train_step, eval_step, latent_train_step
 
 
+def make_decoder_ft_step(cfg: CodecConfig, tcfg: TrainConfig,
+                         tx: optax.GradientTransformation,
+                         mask_embed: bool = False,
+                         w_masked_ft: float = 1.0):
+    """Inpainting-decoder fine-tune steps: train ONLY the tactile decoder on
+    concealed-latent inputs, predictor and encoders frozen.
+
+    Round-2 VERDICT weak #1: every PLC remedy so far was predictor-side, but
+    this framework OWNS the backbone (the reference's frozen pip DAC cannot
+    do this). The decoder only ever saw clean latents in pretraining; at
+    concealment time it decodes ``z_filled`` = true latents with predicted
+    (or zero) tokens spliced in — off-distribution inputs. Fine-tuning
+    decode(z_filled) -> clean waveform lets the decoder exploit CONTEXT
+    around a filled span, which raises the achievable masked-span SNR beyond
+    the predictor's latent relMSE bound (docs/PLC_TIME_DOMAIN.md — the bound
+    assumes the decoder treats filled tokens as if they were true).
+
+    Loss: the standard codec loss over the full signal (keeps unmasked
+    regions from degrading) + ``w_masked_ft`` x the masked-span
+    time-relative-MSE (the evaluator's masked-PSNR objective).
+    """
+    def loss_fn(dec, head, backbones, a, tc, mask, rng):
+        from ..data import wire
+        a = tuple(a) if isinstance(a, tuple) else wire.decode_wave(a)
+        tc = wire.decode_wave(tc)
+        if isinstance(a, tuple):
+            qa, zt = a
+        else:
+            params = allpred_ar.CodecParams(backbones["audio"],
+                                            backbones["tactile"], head)
+            qa, zt = allpred_ar.backbone_latents(params, cfg, a, tc)
+        z_pred, m = plc_model.predict_latents(head, cfg, qa, zt, mask,
+                                              dropout_rng=rng,
+                                              mask_embed=mask_embed)
+        z_filled = jnp.where(m, z_pred, zt * (~m))
+        z_filled = jax.lax.stop_gradient(z_filled)  # decoder-only gradients
+        from ..models import dac
+        y_hat = dac.decode({"decoder": dec}, cfg.dac, z_filled)
+        T = min(y_hat.shape[-1], tc.shape[-1])
+        fin = lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
+        y_hat, tgt = fin(y_hat[..., :T]), fin(tc[..., :T])
+        total, parts = codec_loss(y_hat, tgt,
+                                  w_wav_l1=tcfg.loss.w_wav_l1,
+                                  w_stft=tcfg.loss.w_stft,
+                                  w_melcos=tcfg.loss.w_melcos,
+                                  sr=tcfg.target_sr)
+        tmse = masked_time_rel_mse(y_hat, tgt, m, cfg.dac.hop)
+        total = total + w_masked_ft * tmse
+        return total, {"total": total, "lat": jnp.zeros(()), "tmse": tmse}
+
+    def _pack(parts):
+        return jnp.stack([parts["total"], parts["lat"], parts["tmse"]])
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def ft_step(dec, opt_state, head, backbones, a, tc, mask, rng):
+        (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            dec, head, backbones, a, tc, mask, rng)
+        updates, opt_state = tx.update(grads, opt_state, dec)
+        dec = optax.apply_updates(dec, updates)
+        return dec, opt_state, _pack(parts)
+
+    @jax.jit
+    def ft_eval(dec, head, backbones, a, tc, mask):
+        _, parts = loss_fn(dec, head, backbones, a, tc, mask, None)
+        return _pack(parts)
+
+    return ft_step, ft_eval
+
+
+def finetune_inpaint_decoder(
+    cfg: CodecConfig,
+    tcfg: TrainConfig,
+    pcfg: PLCConfig,
+    backbones: dict,
+    head: dict,
+    train_batches: Callable[[int], Iterable],
+    val_batches: Callable[[], Iterable],
+    out_dir: str,
+    mode: str = "uniform",
+    seed: int = 7,
+    epochs: Optional[int] = None,
+    w_masked_ft: float = 1.0,
+    resume: bool = False,
+    log: Callable[[str], None] = print,
+) -> dict:
+    """Fine-tune the tactile decoder on concealed latents (predictor frozen).
+
+    Writes ``dec_plc.msgpack`` (best by val) + ``dec_plc_last.msgpack`` into
+    ``out_dir``; the PLC evaluators pick ``dec_plc.msgpack`` up automatically
+    for the conceal path (the zero-fill baseline keeps the STOCK decoder —
+    it models a receiver without any PLC system). Returns the hist dict.
+    """
+    assert mode in ("uniform", "category")
+    os.makedirs(out_dir, exist_ok=True)
+    epochs = epochs or tcfg.epochs
+    steps_per_epoch = max(1, sum(1 for _ in train_batches(0)))
+    dec = jax.tree.map(jnp.asarray, backbones["tactile"]["decoder"])
+    start_epoch = 1
+    hist = {"train": [], "val": [], "tmse": [], "val_masked_snr_db": []}
+    last_path = os.path.join(out_dir, "dec_plc_last.msgpack")
+    if resume and os.path.exists(last_path):
+        dec, last_epoch, resumed_hist = ckpt.load_checkpoint_tolerant(
+            last_path, dec)
+        start_epoch = last_epoch + 1
+        if resumed_hist:
+            hist.update({k: list(v) for k, v in resumed_hist.items()
+                         if k in hist})
+        log(f"[plc-decft:{mode}] resume from {last_path} at epoch {last_epoch}")
+
+    schedule = cosine_epoch_lr(tcfg.lr, epochs, tcfg.lr_min_frac,
+                               steps_per_epoch)
+    if start_epoch > 1:
+        off = (start_epoch - 1) * steps_per_epoch
+        base = schedule
+        schedule = lambda step: base(step + off)  # noqa: E731
+    tx = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(tcfg.grad_clip),
+                    optax.adamw(schedule, b1=tcfg.adam_b1, b2=tcfg.adam_b2,
+                                weight_decay=tcfg.weight_decay)),
+        max_consecutive_errors=10**6)
+    opt_state = tx.init(dec)
+    ft_step, ft_eval = make_decoder_ft_step(cfg, tcfg, tx,
+                                            mask_embed=pcfg.mask_embed,
+                                            w_masked_ft=w_masked_ft)
+
+    # commit long-lived params once (numpy jit args re-upload per call)
+    head = jax.device_put(head)
+    backbones = jax.device_put(backbones)
+    dec = jax.device_put(dec)
+    opt_state = jax.device_put(opt_state)
+
+    t_lat = int(round(tcfg.seg_sec * cfg.dac.tokens_per_sec))
+    tps = cfg.dac.tokens_per_sec
+    best_val = min(hist["val"]) if hist["val"] else float("inf")
+    best_dec = None
+    best_epoch = 0
+    mask_rng = np.random.default_rng(seed + 31)
+    base_rng = jax.random.key(seed + 32)
+    acp = ckpt.AsyncCheckpointer()
+
+    def unpack(b):
+        return ((b[0], b[1]), b[2]) if len(b) == 3 else b
+
+    try:
+        for ep in range(start_epoch, epochs + 1):
+            t0 = time.time()
+            step_parts = []
+            for b in train_batches(ep):
+                a, tc = unpack(b)
+                bsz = tc.shape[0]
+                mask = _make_mask(mask_rng, bsz, t_lat, pcfg, mode, tps)
+                a, tc, mask = jax.device_put((a, tc, mask))
+                rng = jax.random.fold_in(base_rng, len(step_parts) + ep * 10000)
+                dec, opt_state, parts = ft_step(dec, opt_state, head,
+                                                backbones, a, tc, mask, rng)
+                step_parts.append(parts)
+            val_rng = np.random.default_rng(seed + 999)
+            val_parts = []
+            for b in val_batches():
+                a, tc = unpack(b)
+                bsz = tc.shape[0]
+                mask = _make_mask(val_rng, bsz, t_lat, pcfg, mode, tps)
+                a, tc, mask = jax.device_put((a, tc, mask))
+                val_parts.append(ft_eval(dec, head, backbones, a, tc, mask))
+            packed = np.asarray(jnp.stack([
+                jnp.stack(step_parts).mean(0) if step_parts else jnp.zeros(3),
+                jnp.stack(val_parts).mean(0) if val_parts else jnp.zeros(3)]))
+            hist["train"].append(float(packed[0, 0]))
+            hist["tmse"].append(float(packed[0, 2]))
+            v = float(packed[1, 0])
+            hist["val"].append(v)
+            msnr = -10.0 * np.log10(max(float(packed[1, 2]), 1e-12))
+            hist["val_masked_snr_db"].append(msnr)
+            log(f"[plc-decft:{mode}] epoch {ep:03d} | train "
+                f"{hist['train'][-1]:.4f} | val {v:.4f} | mSNR {msnr:.2f} dB"
+                f" | {time.time()-t0:.1f}s")
+            acp.save(last_path, dec, ep, hist)
+            if v + 1e-6 < best_val:
+                best_val = v
+                best_epoch = ep
+                best_dec = jax.tree.map(jnp.array, dec)
+                log("new best decoder")
+        if best_dec is not None:
+            acp.save(os.path.join(out_dir, "dec_plc.msgpack"),
+                     best_dec, best_epoch, hist)
+    finally:
+        acp.close()
+    return hist
+
+
 def _make_mask(rng: np.random.Generator, batch: int, t_lat: int,
                pcfg: PLCConfig, mode: str, tokens_per_sec: float) -> np.ndarray:
     if mode == "uniform":

@@ -25,6 +25,8 @@ def main() -> None:
     ap.add_argument("--max-files", type=int, default=0,
                     help="evaluate an evenly-spaced subset of N pairs "
                          "(0 = all; for time-bounded eval runs)")
+    ap.add_argument("--no-dec-ft", action="store_true",
+                    help="ignore dec_plc.msgpack even if present")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     _common.setup_jax(cpu=args.cpu)
@@ -56,6 +58,17 @@ def main() -> None:
         os.path.join(args.run_dir, args.checkpoint), template)
     params = allpred_ar.CodecParams(backbones["audio"], backbones["tactile"], head)
 
+    # inpainting-fine-tuned decoder (plc/train.py::finetune_inpaint_decoder):
+    # used for the conceal path only; zero-fill baseline keeps the stock one
+    dec_ft = None
+    if not args.no_dec_ft:
+        dec_path = os.path.join(args.run_dir, "dec_plc.msgpack")
+        if os.path.exists(dec_path):
+            dec_ft, _, _ = ckpt.load_checkpoint_tolerant(
+                dec_path, backbones["tactile"]["decoder"])
+            dec_ft = jax.device_put(dec_ft)
+            print(f"[eval_plc] using inpainting decoder {dec_path}")
+
     pairs = pair_stems(args.audio_dir, args.tact_dir)
     if args.max_files and len(pairs) > args.max_files:
         # evenly spaced subset keeps material-class diversity (stems sort by
@@ -65,10 +78,10 @@ def main() -> None:
         pairs = [pairs[i] for i in idx]
     if args.mode == "uniform":
         eval_plc_uniform(params, cfg, pairs, args.run_dir, pcfg,
-                         seed=args.seed)
+                         seed=args.seed, dec_ft=dec_ft)
     else:
         eval_plc_categories(params, cfg, pairs, args.run_dir, pcfg,
-                            seed=args.seed)
+                            seed=args.seed, dec_ft=dec_ft)
 
 
 if __name__ == "__main__":

@@ -37,6 +37,12 @@ def main() -> None:
                     help="decoder-free masked-latent pretrain epochs")
     ap.add_argument("--plc-layers", type=int, default=1,
                     help="stacked predictor depth (1 = reference structure)")
+    ap.add_argument("--decoder-ft-epochs", type=int, default=0,
+                    help="inpainting-decoder fine-tune epochs after head "
+                         "training (predictor frozen; writes dec_plc.msgpack)")
+    ap.add_argument("--w-masked-ft", type=float, default=1.0,
+                    help="masked-span weight in the decoder fine-tune loss")
+    ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     _common.setup_jax(cpu=args.cpu)
@@ -47,7 +53,8 @@ def main() -> None:
         SegmentDataset, batch_iterator, pair_stems, split_items)
     from multimodal_vqvae_compression_audio_tactile_tpu.data.synth import (
         make_synth_corpus)
-    from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import train_plc
+    from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import (
+        finetune_inpaint_decoder, train_plc)
 
     cfg = CodecConfig()
     tcfg = TrainConfig(epochs=args.epochs, batch=args.batch, seed=args.seed,
@@ -66,14 +73,41 @@ def main() -> None:
     ds_va = SegmentDataset(va, sr=tcfg.target_sr, seg=tcfg.seg, seed=tcfg.seed)
 
     backbones = _common.default_backbones(cfg, args.backbone, args.seed)
+    train_batches = lambda ep: batch_iterator(  # noqa: E731
+        ds_tr, tcfg.batch, seed=tcfg.seed, epoch=ep)
+    val_batches = lambda: batch_iterator(  # noqa: E731
+        ds_va, tcfg.batch, shuffle=False, drop_last=False)
     train_plc(
         cfg, tcfg, pcfg, backbones,
-        train_batches=lambda ep: batch_iterator(ds_tr, tcfg.batch, seed=tcfg.seed,
-                                                epoch=ep),
-        val_batches=lambda: batch_iterator(ds_va, tcfg.batch, shuffle=False,
-                                           drop_last=False),
+        train_batches=train_batches, val_batches=val_batches,
         out_dir=args.out_dir, mode=args.mode, seed=tcfg.seed,
+        resume=args.resume,
         latent_pretrain_epochs=args.plc_latent_epochs)
+
+    if args.decoder_ft_epochs > 0:
+        import os
+
+        import jax
+
+        from multimodal_vqvae_compression_audio_tactile_tpu.models import (
+            allpred_ar)
+        from multimodal_vqvae_compression_audio_tactile_tpu.plc.model import (
+            plc_head_init)
+        from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+            checkpoint as ckpt)
+
+        best = os.path.join(args.out_dir, "best.msgpack")
+        last = os.path.join(args.out_dir, "last.msgpack")
+        head_t = plc_head_init(jax.random.key(args.seed), cfg,
+                               n_layers=args.plc_layers)
+        head, _, _ = ckpt.load_checkpoint_tolerant(
+            best if os.path.exists(best) else last, head_t)
+        finetune_inpaint_decoder(
+            cfg, tcfg, pcfg, backbones, head,
+            train_batches=train_batches, val_batches=val_batches,
+            out_dir=args.out_dir, mode=args.mode, seed=tcfg.seed,
+            epochs=args.decoder_ft_epochs, w_masked_ft=args.w_masked_ft,
+            resume=args.resume)
 
 
 if __name__ == "__main__":

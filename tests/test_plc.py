@@ -432,3 +432,86 @@ class TestPLCMetaRoundtrip:
         assert got == pcfg
         # missing meta -> default
         assert plc_config_from_meta(str(tmp_path / "nope")) == PLCConfig()
+
+
+class TestInpaintDecoderFT:
+    """Inpainting-decoder fine-tune (plc/train.py::finetune_inpaint_decoder,
+    round-2 VERDICT weak #1: backbone-side PLC lever the frozen-pip-DAC
+    reference cannot have)."""
+
+    def _setup(self):
+        base = allpred_ar.codec_init(jax.random.key(0), CFG)
+        backbones = {"audio": base.audio_dac, "tactile": base.tactile_dac}
+        head = plc_model.plc_head_init(jax.random.key(1), CFG)
+        rng = np.random.default_rng(7)
+        a = (0.3 * rng.standard_normal((2, 1, 3200))).astype(np.float32)
+        tc = (0.3 * rng.standard_normal((2, 1, 3200))).astype(np.float32)
+        return backbones, head, a, tc
+
+    def test_trains_decoder_only_and_saves(self, tmp_path):
+        import os
+
+        from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+            TrainConfig)
+        from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import (
+            finetune_inpaint_decoder)
+
+        backbones, head, a, tc = self._setup()
+        head_before = jax.tree.map(np.asarray, head)
+        enc_before = jax.tree.map(np.asarray, backbones["tactile"]["encoder"])
+        dec_before = jax.tree.map(np.asarray, backbones["tactile"]["decoder"])
+        batches = lambda *_: iter([(a, tc)])  # noqa: E731
+        tcfg = TrainConfig(epochs=2, batch=2, seg_sec=3200 / 24000,
+                           best_after_epoch=0)
+        out = str(tmp_path / "run")
+        hist = finetune_inpaint_decoder(
+            CFG, tcfg, PLCConfig(), backbones, head,
+            train_batches=batches, val_batches=batches,
+            out_dir=out, mode="uniform", seed=7, epochs=2)
+        assert len(hist["train"]) == 2
+        assert np.isfinite(hist["train"]).all()
+        assert os.path.exists(os.path.join(out, "dec_plc.msgpack"))
+        # frozen things stay bit-identical
+        for before, after in [
+                (head_before, head),
+                (enc_before, backbones["tactile"]["encoder"])]:
+            jax.tree.map(np.testing.assert_array_equal,
+                         before, jax.tree.map(np.asarray, after))
+        # the saved decoder actually moved
+        from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+            checkpoint as ckpt)
+        dec_ft, _, _ = ckpt.load_checkpoint_tolerant(
+            os.path.join(out, "dec_plc.msgpack"),
+            backbones["tactile"]["decoder"])
+        diffs = jax.tree.leaves(jax.tree.map(
+            lambda x, y: float(np.abs(np.asarray(x) - np.asarray(y)).max()),
+            dec_before, dec_ft))
+        assert max(diffs) > 0.0
+
+    def test_eval_uses_ft_decoder_for_conceal_only(self, tmp_path):
+        from multimodal_vqvae_compression_audio_tactile_tpu.plc.eval_uniform import (
+            eval_plc_file)
+        from multimodal_vqvae_compression_audio_tactile_tpu.utils.wav_io import (
+            write_wav)
+
+        backbones, head, _, _ = self._setup()
+        params = allpred_ar.CodecParams(backbones["audio"],
+                                        backbones["tactile"], head)
+        rng = np.random.default_rng(3)
+        a = (0.3 * rng.standard_normal(12000)).astype(np.float32)
+        tc = (0.3 * rng.standard_normal(12000)).astype(np.float32)
+        ap = str(tmp_path / "a.wav")
+        tp = str(tmp_path / "t.wav")
+        write_wav(ap, a, 24000, subtype="FLOAT")
+        write_wav(tp, tc, 24000, subtype="FLOAT")
+        mask_fn = lambda t_lat: (np.arange(t_lat) % 3 == 0)  # noqa: E731
+        row0 = eval_plc_file(params, CFG, ap, tp, mask_fn, 1.0)
+        # a perturbed decoder must change the conceal metrics but leave the
+        # zero-fill baseline untouched (it models a receiver with no PLC)
+        dec_ft = jax.tree.map(
+            lambda x: x + 0.01 * np.float32(np.issubdtype(
+                np.asarray(x).dtype, np.floating)),
+            backbones["tactile"]["decoder"])
+        row1 = eval_plc_file(params, CFG, ap, tp, mask_fn, 1.0, dec_ft=dec_ft)
+        assert row0["psnr_masked_zero_db"] == row1["psnr_masked_zero_db"]
+        assert row0["psnr_masked_db"] != row1["psnr_masked_db"]
