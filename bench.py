@@ -92,6 +92,23 @@ def main() -> None:
     sc = StreamingCodec(params, cfg, batch=32)
     tp = sc.throughput_frames_per_sec(repeats=10)
 
+    # A/B: two-phase parallel AR roll (models/ar_parallel.py) vs the scan
+    # roll, both single-stream and batched. Same transmitted codes
+    # (tests/test_ar_parallel.py); headline stays on the default path until a
+    # healthy TPU A/B justifies flipping StreamingCodec's default.
+    sc1p = StreamingCodec(params, cfg, batch=1, parallel_roll=True)
+    encp = measure_ms_stats(lambda: sc1p.encode(a, t), warmup=3, repeats=30)
+    scp = StreamingCodec(params, cfg, batch=32, parallel_roll=True)
+    tpp = scp.throughput_frames_per_sec(repeats=10)
+    par_ab = {
+        "encode_p50_ms_b1": round(encp["p50"], 3),
+        "encode_mean_ms_b1": round(encp["mean"], 3),
+        "encode_frames_per_sec_b32": round(tpp["encode_frames_per_sec"], 1),
+        "speedup_b1_p50": round(enc["p50"] / max(encp["p50"], 1e-9), 3),
+        "speedup_b32": round(tpp["encode_frames_per_sec"]
+                             / max(tp["encode_frames_per_sec"], 1e-9), 3),
+    }
+
     # MFU / roofline accounting (round-2 VERDICT missing #2): FLOPs and
     # bytes-accessed from XLA's compiled cost model, against the chip's bf16
     # peak and HBM bandwidth; classifies each program as compute-,
@@ -135,6 +152,7 @@ def main() -> None:
             "decode_vs_baseline": round(BASELINE_DEC_MS / dec["mean"], 3),
             "encode_frames_per_sec_b32": round(tp["encode_frames_per_sec"], 1),
             "decode_frames_per_sec_b32": round(tp["decode_frames_per_sec"], 1),
+            "parallel_roll": par_ab,
             "mfu": mfu,
             "backend": jax.default_backend(),
         },

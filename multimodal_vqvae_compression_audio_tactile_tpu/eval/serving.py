@@ -32,7 +32,7 @@ class StreamingCodec:
                  batch: int, frame_sec: float = 1.0,
                  n_books_use: Optional[int] = None,
                  compute_dtype=jnp.bfloat16, fast: bool = True,
-                 mesh=None):
+                 mesh=None, parallel_roll: bool = False):
         # serving default: native single-pass bf16 MXU matmuls for the conv
         # stacks and attention (the VQ score matmuls that pick transmitted
         # code indices stay HIGHEST — see CodecConfig.fast_serving). The
@@ -65,12 +65,24 @@ class StreamingCodec:
 
         cdt = compute_dtype
 
+        # two-phase parallel AR roll (models/ar_parallel.py): the carry chain
+        # is removable, so the roll runs as 2 batched passes instead of a
+        # sequential scan — same codes (parity: tests/test_ar_parallel.py)
+        if parallel_roll:
+            from ..models import ar_parallel
+            _enc_fn = ar_parallel.encode_latents_parallel
+            _dec_codes_fn = ar_parallel.decode_from_codes_parallel
+        else:
+            _enc_fn = allpred_ar.encode_latents
+            _dec_codes_fn = allpred_ar.decode_from_codes
+        self.parallel_roll = parallel_roll
+
         # params flow as jit ARGUMENTS: closing over them would bake hundreds
         # of MB of weights into the HLO as constants (rejected by remote
         # compilers and slow at dispatch)
         @jax.jit
         def _encode(p, a, tc):
-            z_run, codes = allpred_ar.encode_latents(
+            z_run, codes = _enc_fn(
                 p, cfg, a.astype(cdt), tc.astype(cdt),
                 n_books_use=self.n_books_use)
             return z_run, codes
@@ -83,8 +95,8 @@ class StreamingCodec:
         @jax.jit
         def _decode_codes(p, a, codes):
             # true receiver path: audio + transmitted indices, no tactile input
-            return allpred_ar.decode_from_codes(
-                p, cfg, a.astype(cdt), codes).astype(jnp.float32)
+            return _dec_codes_fn(p, cfg, a.astype(cdt),
+                                 codes).astype(jnp.float32)
 
         self._encode = lambda a, tc: _encode(self.params, self._put(a),
                                              self._put(tc))

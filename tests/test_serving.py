@@ -59,6 +59,27 @@ class TestStreamingCodec:
         assert stats["encode_frames_per_sec"] > 0
         assert stats["decode_frames_per_sec"] > 0
 
+    def test_parallel_roll_wrapper_matches_scan_wrapper(self, setup):
+        """StreamingCodec(parallel_roll=True) must transmit the same codes and
+        reconstruct the same waveforms as the scan-roll wrapper (the two-phase
+        roll rewrite, models/ar_parallel.py)."""
+        from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving import (
+            StreamingCodec)
+        params, a, tc = setup
+        kw = dict(batch=2, frame_sec=3200 / 24000, compute_dtype=jnp.float32,
+                  fast=False)
+        sc = StreamingCodec(params, CFG, **kw)
+        scp = StreamingCodec(params, CFG, parallel_roll=True, **kw)
+        z, codes = sc.encode(np.asarray(a), np.asarray(tc))
+        zp, codesp = scp.encode(np.asarray(a), np.asarray(tc))
+        np.testing.assert_array_equal(np.asarray(codesp), np.asarray(codes))
+        np.testing.assert_allclose(np.asarray(zp), np.asarray(z),
+                                   rtol=1e-5, atol=1e-5)
+        y = sc.decode_from_codes(np.asarray(a), codes)
+        yp = scp.decode_from_codes(np.asarray(a), codesp)
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(y),
+                                   rtol=1e-4, atol=1e-4)
+
 
 def test_streaming_codec_commits_numpy_params_once():
     """Params given as numpy pytrees must be committed to device at
