@@ -51,6 +51,14 @@ def main() -> None:
                          "from the device-resident cache — skips the encoder "
                          "forwards that dominate multi-run sweep time")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--decorrelate", type=float, default=0.0,
+                    help="corpus-hardness knob: fraction of per-modality "
+                         "independent contact events (data/synth.py; "
+                         "docs/CORPUS_HARDNESS.md)")
+    ap.add_argument("--jitter-ms", type=float, default=0.0,
+                    help="corpus-hardness knob: per-modality timing jitter")
+    ap.add_argument("--no-plc", action="store_true",
+                    help="codec sweep + RD eval only (hardness study runs)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--gan", action="store_true",
@@ -95,7 +103,9 @@ def main() -> None:
     if args.only_plc_category:
         args.plc_category = True
     # phase gates: which of sweep / uniform-PLC / codec-benchmark to run
-    args.do_uniform_plc = not args.only_plc_category
+    args.do_uniform_plc = not (args.only_plc_category or args.no_plc)
+    if args.no_plc:
+        args.plc_category = False
     args.do_codec = not (args.only_plc_category or args.only_plc)
     _common.setup_jax(cpu=args.cpu)
 
@@ -144,7 +154,9 @@ def main() -> None:
 
     # ---- 1. corpus -------------------------------------------------------
     pairs = make_synth_corpus(os.path.join(root, "corpus"), n_pairs=args.pairs,
-                              dur_sec=args.dur_sec, seed=args.seed)
+                              dur_sec=args.dur_sec, seed=args.seed,
+                              decorrelate=args.decorrelate,
+                              jitter_ms=args.jitter_ms)
     audio_dir = os.path.join(root, "corpus", "audio")
     tact_dir = os.path.join(root, "corpus", "tactile")
     print(f"[demo] corpus: {len(pairs)} pairs", flush=True)
@@ -209,7 +221,7 @@ def main() -> None:
 
     sweep_train_it, sweep_val_it, sweep_steps = train_it, val_it, None
     cache = tr_rows = va_rows = seg_tok = n_val = None
-    if args.cached_heads and (args.do_uniform_plc or args.plc_category):
+    if args.cached_heads:
         from multimodal_vqvae_compression_audio_tactile_tpu.train import (
             latent_cache as lc)
         t0 = time.time()
@@ -363,6 +375,8 @@ def main() -> None:
             "config": {
                 "eval_sr": ecfg.eval_sr, "peak_global_raw": peak_global,
                 "n_pairs": len(eval_pairs), "synthetic_corpus": True,
+                # corpus-hardness knobs (docs/CORPUS_HARDNESS.md)
+                "decorrelate": args.decorrelate, "jitter_ms": args.jitter_ms,
                 # the key "dac_24khz" keeps the reference JSON schema, but
                 # the rows are OUR pretrained DAC-class backbone (descript
                 # weights require network download)
