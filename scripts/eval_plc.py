@@ -54,8 +54,12 @@ def main() -> None:
     pcfg = plc_config_from_meta(args.run_dir, PLCConfig())
     template = plc_model.plc_head_init(jax.random.key(0), cfg,
                                        n_layers=pcfg.n_layers)
-    head, _, _ = ckpt.load_checkpoint_tolerant(
-        os.path.join(args.run_dir, args.checkpoint), template)
+    ckpt_path = os.path.join(args.run_dir, args.checkpoint)
+    if args.checkpoint == "best.msgpack" and not os.path.exists(ckpt_path):
+        # interrupted/resumed runs may never write best (demo driver fallback)
+        ckpt_path = os.path.join(args.run_dir, "last.msgpack")
+        print(f"[eval_plc] best.msgpack missing, falling back to {ckpt_path}")
+    head, _, _ = ckpt.load_checkpoint_tolerant(ckpt_path, template)
     params = allpred_ar.CodecParams(backbones["audio"], backbones["tactile"], head)
 
     # inpainting-fine-tuned decoder (plc/train.py::finetune_inpaint_decoder):
