@@ -317,7 +317,6 @@ def finetune_inpaint_decoder(
     t_lat = int(round(tcfg.seg_sec * cfg.dac.tokens_per_sec))
     tps = cfg.dac.tokens_per_sec
     best_val = min(hist["val"]) if hist["val"] else float("inf")
-    best_dec = None
     best_epoch = 0
     mask_rng = np.random.default_rng(seed + 31)
     base_rng = jax.random.key(seed + 32)
@@ -363,11 +362,11 @@ def finetune_inpaint_decoder(
             if v + 1e-6 < best_val:
                 best_val = v
                 best_epoch = ep
-                best_dec = jax.tree.map(jnp.array, dec)
+                # save best immediately (not at loop end): early-stopped /
+                # killed runs must still leave their best decoder on disk
+                acp.save(os.path.join(out_dir, "dec_plc.msgpack"),
+                         jax.tree.map(jnp.array, dec), best_epoch, hist)
                 log("new best decoder")
-        if best_dec is not None:
-            acp.save(os.path.join(out_dir, "dec_plc.msgpack"),
-                     best_dec, best_epoch, hist)
     finally:
         acp.close()
     return hist
