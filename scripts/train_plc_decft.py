@@ -14,6 +14,10 @@ scripts/eval_plc.py picks up automatically.
 --cache-file: precomputed (qa, zt, tc) latent cache (train/latent_cache.py)
 — skips all backbone encodes per step (CPU-friendly; do NOT use the 1.4 GB
 cache on the tunneled TPU, re-encode there instead).
+
+--audio-dir/--tact-dir (instead of --cache-file): stream waveform batches
+from the corpus and re-encode inside the jitted FT step — the TPU path
+(small host->device uploads per step; encodes ride the MXU).
 """
 
 import argparse
@@ -26,7 +30,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--run-dir", required=True)
     ap.add_argument("--backbone", required=True)
-    ap.add_argument("--cache-file", required=True)
+    ap.add_argument("--cache-file",
+                    help="latent cache (CPU path); mutually exclusive with "
+                         "--audio-dir/--tact-dir")
+    ap.add_argument("--audio-dir", help="corpus path (TPU path: re-encode)")
+    ap.add_argument("--tact-dir")
     ap.add_argument("--mode", choices=["uniform", "category"], default=None,
                     help="default: the run's meta.json mode")
     ap.add_argument("--epochs", type=int, default=10)
@@ -83,28 +91,57 @@ def main() -> None:
     bb, _, _ = ckpt.load_checkpoint_tolerant(args.backbone, bb_t)
     backbones = {"audio": bb, "tactile": bb}
 
-    print(f"[decft] loading cache {args.cache_file}", flush=True)
-    cache = lc.load_cache(args.cache_file)
-    n_rows = int(cache.qa.shape[0])
-    rng = np.random.default_rng(args.seed)
-    perm = rng.permutation(n_rows)
-    n_tr = min(args.pairs or n_rows, n_rows - args.val_pairs)
-    rows_tr = perm[:n_tr]
-    rows_va = perm[n_tr: n_tr + args.val_pairs]
-
     tcfg = TrainConfig(epochs=args.epochs, batch=args.batch, lr=args.lr,
                        seed=args.seed, loss=LossConfig())
-    seg_tok = int(round(tcfg.seg_sec * cfg.dac.tokens_per_sec))
-    steps = args.steps_per_epoch or max(1, n_tr // args.batch)
 
-    def train_batches(ep):
-        return lc.cached_batches(cache, cfg, args.batch, steps, seg_tok,
-                                 args.seed, ep, indices=rows_tr)
+    if bool(args.cache_file) == bool(args.audio_dir):
+        raise SystemExit("pass exactly one of --cache-file or "
+                         "--audio-dir/--tact-dir")
 
-    def val_batches():
-        return lc.cached_batches(cache, cfg, args.batch,
-                                 max(1, len(rows_va) // args.batch), seg_tok,
-                                 args.seed + 999, 0, indices=rows_va)
+    if args.cache_file:
+        print(f"[decft] loading cache {args.cache_file}", flush=True)
+        cache = lc.load_cache(args.cache_file)
+        n_rows = int(cache.qa.shape[0])
+        rng = np.random.default_rng(args.seed)
+        perm = rng.permutation(n_rows)
+        n_tr = min(args.pairs or n_rows, n_rows - args.val_pairs)
+        rows_tr = perm[:n_tr]
+        rows_va = perm[n_tr: n_tr + args.val_pairs]
+        seg_tok = int(round(tcfg.seg_sec * cfg.dac.tokens_per_sec))
+        steps = args.steps_per_epoch or max(1, n_tr // args.batch)
+
+        def train_batches(ep):
+            return lc.cached_batches(cache, cfg, args.batch, steps, seg_tok,
+                                     args.seed, ep, indices=rows_tr)
+
+        def val_batches():
+            return lc.cached_batches(cache, cfg, args.batch,
+                                     max(1, len(rows_va) // args.batch),
+                                     seg_tok, args.seed + 999, 0,
+                                     indices=rows_va)
+    else:
+        # TPU path: waveform batches from the corpus, encode on-chip per step
+        from multimodal_vqvae_compression_audio_tactile_tpu.data import (
+            SegmentDataset, batch_iterator, pair_stems, split_items)
+
+        pairs = pair_stems(args.audio_dir, args.tact_dir)
+        tr, va = split_items(pairs, tcfg.val_frac, tcfg.max_val, tcfg.seed)
+        if args.pairs:
+            tr = tr[: args.pairs]
+        va = va[: args.val_pairs]
+        n_tr = len(tr)
+        ds_tr = SegmentDataset(tr, sr=tcfg.target_sr, seg=tcfg.seg,
+                               seed=tcfg.seed)
+        ds_va = SegmentDataset(va, sr=tcfg.target_sr, seg=tcfg.seg,
+                               seed=tcfg.seed)
+        steps = args.steps_per_epoch or max(1, n_tr // args.batch)
+
+        def train_batches(ep):
+            return batch_iterator(ds_tr, tcfg.batch, seed=tcfg.seed, epoch=ep)
+
+        def val_batches():
+            return batch_iterator(ds_va, tcfg.batch, shuffle=False,
+                                  drop_last=False)
 
     print(f"[decft] mode={mode} n_layers={pcfg.n_layers} "
           f"mask_embed={pcfg.mask_embed} train_rows={n_tr} steps={steps}",
