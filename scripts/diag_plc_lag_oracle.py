@@ -1,0 +1,226 @@
+#!/usr/bin/env python3
+"""Oracle decomposition of the PLC decode-side translation gap.
+
+Round-3 analysis (VERDICT weak #1 alternative clause): the per-regime latent
+bounds (scripts/diag_plc_bound.py) showed the trained heads reach a masked
+latent relMSE of ~0.89-0.90 in EVERY regime — a stock-decoder masked-PSNR
+gain bound of ~+0.46-0.50 dB — yet the measured n=150 time-domain gains are
++0.58 / +0.12 / +0.004 dB (low / medium / high): the medium/high shortfall
+happens DURING decoding, not prediction (docs/PLC_TIME_DOMAIN.md).
+
+This probe decomposes that decode-side gap per masked span with two oracles
+that peek at the ground truth (ANALYSIS bounds, not a codec mode):
+
+  lag    — best integer shift within ±max-lag samples per concealed span
+           (phase/latency misalignment of the decoded fill)
+  gain   — best scalar per span after the lag (amplitude mismatch)
+
+Masked-span PSNR is recomputed under: as-is, oracle-lag, oracle-gain,
+oracle-lag+gain. The fraction of the gap each oracle closes tells which
+mechanism the (TPU-gated) inpainting-decoder fine-tune must fix — or whether
+the residual is genuine waveform error no alignment can recover.
+
+Protocol matches scripts/eval_plc.py (same per-file mask seeds, evenly
+spaced --max-files subset, global tactile peak), reference formulas cited in
+plc/eval_uniform.py / plc/eval_categories.py.
+
+  python scripts/diag_plc_lag_oracle.py --run-dir /root/demo_r2/plc_category \
+      --mode category --audio-dir /root/demo_r2/corpus/audio \
+      --tact-dir /root/demo_r2/corpus/tactile \
+      --backbone /root/demo_r2/backbone/best.msgpack \
+      --max-files 20 --cpu --out docs/demo_evidence_r3/plc_lag_oracle.json
+"""
+
+import argparse
+import json
+import os
+
+import _common
+
+
+def span_bounds(sample_mask):
+    """[(s0, s1), ...) for each contiguous True run in a boolean vector."""
+    import numpy as np
+
+    m = np.asarray(sample_mask, bool)
+    if not m.any():
+        return []
+    d = np.diff(m.astype(np.int8))
+    starts = list(np.nonzero(d == 1)[0] + 1)
+    ends = list(np.nonzero(d == -1)[0] + 1)
+    if m[0]:
+        starts.insert(0, 0)
+    if m[-1]:
+        ends.append(m.shape[0])
+    return list(zip(starts, ends))
+
+
+def oracle_span_sse(ref, est, s0, s1, max_lag):
+    """Per-span SSE under: as-is, best-lag, best-gain, best-lag+gain.
+
+    The lag search slides the ESTIMATE window (concealed decode) within
+    ±max_lag; windows clip at signal edges, in which case the overlapping
+    part is scored and the non-overlapping remainder keeps its as-is error
+    (conservative: the oracle can only realign samples that exist).
+    """
+    import numpy as np
+
+    r = ref[s0:s1].astype(np.float64)
+    sse_asis = float(((r - est[s0:s1]) ** 2).sum())
+
+    best = {"lag": 0, "sse_lag": sse_asis, "gain": 1.0,
+            "sse_gain_only": None, "sse_lag_gain": sse_asis}
+    n = est.shape[0]
+    for lag in range(-max_lag, max_lag + 1):
+        a0, a1 = s0 + lag, s1 + lag
+        c0, c1 = max(a0, 0), min(a1, n)
+        if c1 <= c0:
+            continue
+        e = est[c0:c1].astype(np.float64)
+        rr = r[c0 - a0: (c1 - a0)]
+        tail = float((r ** 2).sum() - (rr ** 2).sum())  # unmatched remainder
+        # unmatched ref samples keep their as-is estimate error; approximating
+        # with ref energy (estimate treated as zero there) is conservative
+        sse = float(((rr - e) ** 2).sum()) + tail
+        if sse < best["sse_lag"]:
+            best.update(lag=lag, sse_lag=sse)
+        ee = float((e * e).sum())
+        g = float((rr * e).sum() / ee) if ee > 0 else 0.0
+        sse_g = float(((rr - g * e) ** 2).sum()) + tail
+        if sse_g < best["sse_lag_gain"]:
+            best.update(gain=g, sse_lag_gain=sse_g)
+        if lag == 0:
+            best["sse_gain_only"] = sse_g
+    if best["sse_gain_only"] is None:
+        best["sse_gain_only"] = sse_asis
+    return sse_asis, best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run-dir", required=True)
+    ap.add_argument("--mode", choices=["uniform", "category"],
+                    default="category")
+    ap.add_argument("--audio-dir", required=True)
+    ap.add_argument("--tact-dir", required=True)
+    ap.add_argument("--backbone")
+    ap.add_argument("--checkpoint", default="best.msgpack")
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--max-files", type=int, default=20)
+    ap.add_argument("--max-lag", type=int, default=160,
+                    help="oracle lag window in samples (±; 160 ≈ 6.7 ms @24k)")
+    ap.add_argument("--out", default="")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    _common.setup_jax(cpu=args.cpu)
+
+    import jax
+    import numpy as np
+
+    from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+        CodecConfig, PLCConfig)
+    from multimodal_vqvae_compression_audio_tactile_tpu.data.pairs import (
+        pair_stems)
+    from multimodal_vqvae_compression_audio_tactile_tpu.eval import (
+        metrics as M)
+    from multimodal_vqvae_compression_audio_tactile_tpu.models import (
+        allpred_ar)
+    from multimodal_vqvae_compression_audio_tactile_tpu.plc import masks
+    from multimodal_vqvae_compression_audio_tactile_tpu.plc import (
+        model as plc_model)
+    from multimodal_vqvae_compression_audio_tactile_tpu.plc.eval_uniform import (
+        eval_plc_file)
+    from multimodal_vqvae_compression_audio_tactile_tpu.plc.train import (
+        plc_config_from_meta)
+    from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+        checkpoint as ckpt)
+
+    cfg = CodecConfig()
+    backbones = _common.default_backbones(cfg, args.backbone, args.seed)
+    pcfg = plc_config_from_meta(args.run_dir, PLCConfig())
+    template = plc_model.plc_head_init(jax.random.key(0), cfg,
+                                       n_layers=pcfg.n_layers)
+    ckpt_path = os.path.join(args.run_dir, args.checkpoint)
+    if not os.path.exists(ckpt_path):
+        ckpt_path = os.path.join(args.run_dir, "last.msgpack")
+    head, _, _ = ckpt.load_checkpoint_tolerant(ckpt_path, template)
+    params = jax.device_put(allpred_ar.CodecParams(
+        backbones["audio"], backbones["tactile"], head))
+
+    pairs = pair_stems(args.audio_dir, args.tact_dir)
+    if args.max_files and len(pairs) > args.max_files:
+        idx = np.linspace(0, len(pairs) - 1, args.max_files).astype(int)
+        pairs = [pairs[i] for i in idx]
+    peak_global = M.compute_global_peak([t for _, t, _ in pairs])
+    base_seed = args.seed * 1000
+    tps = cfg.dac.tokens_per_sec
+
+    cats = (list(masks.CATEGORIES) if args.mode == "category"
+            else ["uniform"])
+    report = {"mode": args.mode, "max_lag": args.max_lag,
+              "num_files": len(pairs), "peak_global": peak_global}
+    for cat_idx, cat in enumerate(cats):
+        tot = {"asis": 0.0, "lag": 0.0, "gain": 0.0, "lag_gain": 0.0,
+               "zero": 0.0, "n": 0}
+        lags = []
+        for f_idx, (ap_, tp_, stem) in enumerate(pairs, start=1):
+            if args.mode == "category":
+                def mask_fn(t_lat, f_idx=f_idx, cat_idx=cat_idx, cat=cat):
+                    rng = np.random.default_rng(masks.eval_mask_seed(
+                        base_seed, f_idx, cat_idx=cat_idx))
+                    return masks.make_category_token_loss_mask(
+                        rng, 1, t_lat, tps, pcfg, category=cat)[0]
+            else:
+                def mask_fn(t_lat, f_idx=f_idx):
+                    rng = np.random.default_rng(
+                        masks.eval_mask_seed(base_seed, f_idx))
+                    return masks.make_token_loss_mask(
+                        rng, 1, t_lat, pcfg.packet_tok,
+                        pcfg.packet_loss_prob)[0]
+
+            row = eval_plc_file(params, cfg, ap_, tp_, mask_fn, peak_global,
+                                return_signals=True,
+                                mask_embed=pcfg.mask_embed)
+            ref, est = row["_ref"], row["_est"]
+            sm = M.token_mask_to_sample_mask(row["_mask"], ref.shape[0])
+            # exact zero-fill floor: invert the evaluator's masked PSNR (the
+            # zero-fill DECODE is not literally zeros — decoder bias + bleed)
+            zero_sse = (peak_global ** 2
+                        / 10.0 ** (row["psnr_masked_zero_db"] / 10.0)
+                        * float(sm.sum()))
+            for s0, s1 in span_bounds(sm):
+                sse0, best = oracle_span_sse(ref, est, s0, s1, args.max_lag)
+                tot["asis"] += sse0
+                tot["lag"] += best["sse_lag"]
+                tot["gain"] += best["sse_gain_only"]
+                tot["lag_gain"] += best["sse_lag_gain"]
+                lags.append(best["lag"])
+            tot["zero"] += zero_sse
+            tot["n"] += int(sm.sum())
+
+        def psnr(sse):
+            return float(10 * np.log10(
+                peak_global ** 2 / max(sse / max(tot["n"], 1), 1e-20)))
+
+        rep = {k: round(psnr(tot[k]), 4)
+               for k in ("asis", "lag", "gain", "lag_gain", "zero")}
+        rep["gain_asis_db"] = round(rep["asis"] - rep["zero"], 4)
+        rep["gain_lag_db"] = round(rep["lag"] - rep["zero"], 4)
+        rep["gain_gain_db"] = round(rep["gain"] - rep["zero"], 4)
+        rep["gain_lag_gain_db"] = round(rep["lag_gain"] - rep["zero"], 4)
+        rep["median_abs_lag"] = float(np.median(np.abs(lags))) if lags else 0.0
+        report[cat] = rep
+        print(f"[lag-oracle {cat}] masked PSNR as-is {rep['asis']:.2f} | "
+              f"+lag {rep['lag']:.2f} | +gain {rep['gain']:.2f} | "
+              f"+lag+gain {rep['lag_gain']:.2f} | zero-fill {rep['zero']:.2f}"
+              f" (gains over zero: {rep['gain_asis_db']:+.3f} -> "
+              f"{rep['gain_lag_gain_db']:+.3f} dB)", flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"[lag-oracle] wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
