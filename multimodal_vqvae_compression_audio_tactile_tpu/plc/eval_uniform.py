@@ -92,7 +92,7 @@ def eval_plc_file(
     ref24 = np.asarray(resample(np.asarray(t_raw), sr_t, sr24))[0]
     est24 = y_norm * scale
     r_c, e_c = crop_match(ref24.reshape(1, -1), est24.reshape(1, -1))
-    r_a, e_a, _ = align_by_xcorr(r_c, e_c, ecfg.max_align_shift)
+    r_a, e_a, shift = align_by_xcorr(r_c, e_c, ecfg.max_align_shift)
     r_a, e_a = crop_match(r_a, e_a)
 
     psnr_global = M.psnr_global_peak_db(r_a, e_a, peak_global)
@@ -129,8 +129,20 @@ def eval_plc_file(
 
     ref_vec, est_vec = r_a[0], e_a[0]
     sm = M.token_mask_to_sample_mask(latent_mask, ref_vec.shape[0])
-    extras = ({"_ref": ref_vec, "_est": est_vec, "_mask": latent_mask}
-              if return_signals else {})
+    if return_signals:
+        # the received audio in the SAME frame as _ref/_est: audio shares the
+        # tactile truth's timebase, so apply the identical shift-crop that
+        # align_by_xcorr applied to ref (analysis/receiver-side alignment
+        # probes need audio co-registered with the concealed decode)
+        av = a24.reshape(-1)[: r_c.shape[-1]]
+        if shift < 0:
+            av = av[-shift:]
+        elif shift > 0:
+            av = av[:-shift]
+        extras = {"_ref": ref_vec, "_est": est_vec, "_mask": latent_mask,
+                  "_audio": av[: ref_vec.shape[0]], "_shift": shift}
+    else:
+        extras = {}
     return {
         **extras,
         "psnr_masked_zero_db": psnr_masked_zero,

@@ -55,6 +55,60 @@ def span_bounds(sample_mask):
     return list(zip(starts, ends))
 
 
+def sse_at_lag(ref, est, s0, s1, lag):
+    """SSE of ref[s0:s1] vs est shifted by ``lag`` (same clipping rule as the
+    oracle: unmatched ref samples count their full energy)."""
+    import numpy as np
+
+    r = ref[s0:s1].astype(np.float64)
+    n = est.shape[0]
+    a0, a1 = s0 + lag, s1 + lag
+    c0, c1 = max(a0, 0), min(a1, n)
+    if c1 <= c0:
+        return float((r ** 2).sum())
+    e = est[c0:c1].astype(np.float64)
+    rr = r[c0 - a0: (c1 - a0)]
+    tail = float((r ** 2).sum() - (rr ** 2).sum())
+    return float(((rr - e) ** 2).sum()) + tail
+
+
+def envelope(x, win=16):
+    """Moving-average magnitude envelope (receiver-side, no ground truth)."""
+    import numpy as np
+
+    k = np.ones(win, np.float64) / win
+    return np.convolve(np.abs(x.astype(np.float64)), k, mode="same")
+
+
+def audio_lag_estimate(env_fill, env_audio, s0, s1, max_lag):
+    """Receiver-feasible lag: align the concealed fill's envelope to the
+    RECEIVED audio's envelope inside the span (audio and tactile transients
+    are physically co-timed; the audio stream is always available to the
+    cross-modal PLC receiver). Returns the argmax-correlation lag."""
+    import numpy as np
+
+    n = env_fill.shape[0]
+    a = env_audio[s0:s1]
+    a = a - a.mean()
+    na = float((a * a).sum()) ** 0.5
+    if na <= 0:
+        return 0
+    best_lag, best_c = 0, -np.inf
+    for lag in range(-max_lag, max_lag + 1):
+        b0, b1 = s0 + lag, s1 + lag
+        if b0 < 0 or b1 > n:
+            continue
+        f = env_fill[b0:b1]
+        f = f - f.mean()
+        nf = float((f * f).sum()) ** 0.5
+        if nf <= 0:
+            continue
+        c = float((a * f).sum()) / (na * nf)
+        if c > best_c:
+            best_c, best_lag = c, lag
+    return best_lag
+
+
 def oracle_span_sse(ref, est, s0, s1, max_lag):
     """Per-span SSE under: as-is, best-lag, best-gain, best-lag+gain.
 
@@ -71,6 +125,7 @@ def oracle_span_sse(ref, est, s0, s1, max_lag):
     best = {"lag": 0, "sse_lag": sse_asis, "gain": 1.0,
             "sse_gain_only": None, "sse_lag_gain": sse_asis}
     n = est.shape[0]
+    sse_by_lag = np.full(2 * max_lag + 1, float((r ** 2).sum()))
     for lag in range(-max_lag, max_lag + 1):
         a0, a1 = s0 + lag, s1 + lag
         c0, c1 = max(a0, 0), min(a1, n)
@@ -82,6 +137,7 @@ def oracle_span_sse(ref, est, s0, s1, max_lag):
         # unmatched ref samples keep their as-is estimate error; approximating
         # with ref energy (estimate treated as zero there) is conservative
         sse = float(((rr - e) ** 2).sum()) + tail
+        sse_by_lag[lag + max_lag] = sse
         if sse < best["sse_lag"]:
             best.update(lag=lag, sse_lag=sse)
         ee = float((e * e).sum())
@@ -93,7 +149,7 @@ def oracle_span_sse(ref, est, s0, s1, max_lag):
             best["sse_gain_only"] = sse_g
     if best["sse_gain_only"] is None:
         best["sse_gain_only"] = sse_asis
-    return sse_asis, best
+    return sse_asis, best, sse_by_lag
 
 
 def main() -> None:
@@ -161,8 +217,11 @@ def main() -> None:
               "num_files": len(pairs), "peak_global": peak_global}
     for cat_idx, cat in enumerate(cats):
         tot = {"asis": 0.0, "lag": 0.0, "gain": 0.0, "lag_gain": 0.0,
-               "zero": 0.0, "n": 0}
+               "lag_audio": 0.0, "zero": 0.0, "n": 0}
         lags = []
+        lag_err = []
+        sse_by_lag = None
+        ctrl = {"asis": 0.0, "lag": 0.0, "lag_gain": 0.0, "n": 0}
         for f_idx, (ap_, tp_, stem) in enumerate(pairs, start=1):
             if args.mode == "category":
                 def mask_fn(t_lat, f_idx=f_idx, cat_idx=cat_idx, cat=cat):
@@ -188,13 +247,39 @@ def main() -> None:
             zero_sse = (peak_global ** 2
                         / 10.0 ** (row["psnr_masked_zero_db"] / 10.0)
                         * float(sm.sum()))
+            env_fill = envelope(est)
+            env_audio = envelope(row["_audio"][: est.shape[0]])
+            # selection-bias control: the same best-of-(2*max_lag+1) search
+            # on matched-length UNMASKED spans, where est IS aligned — any
+            # "gain" there is pure oracle selection bias
+            un_runs = sorted(span_bounds(~sm), key=lambda p: p[0] - p[1])
             for s0, s1 in span_bounds(sm):
-                sse0, best = oracle_span_sse(ref, est, s0, s1, args.max_lag)
+                need = s1 - s0
+                for u0, u1 in un_runs:
+                    if u1 - u0 >= need + 2 * args.max_lag:
+                        c = (u0 + u1) // 2
+                        k0 = c - need // 2
+                        csse0, cbest, _ = oracle_span_sse(
+                            ref, est, k0, k0 + need, args.max_lag)
+                        ctrl["asis"] += csse0
+                        ctrl["lag"] += cbest["sse_lag"]
+                        ctrl["lag_gain"] += cbest["sse_lag_gain"]
+                        ctrl["n"] += need
+                        break
+            for s0, s1 in span_bounds(sm):
+                sse0, best, by_lag = oracle_span_sse(ref, est, s0, s1,
+                                                     args.max_lag)
+                sse_by_lag = (by_lag if sse_by_lag is None
+                              else sse_by_lag + by_lag)
                 tot["asis"] += sse0
                 tot["lag"] += best["sse_lag"]
                 tot["gain"] += best["sse_gain_only"]
                 tot["lag_gain"] += best["sse_lag_gain"]
                 lags.append(best["lag"])
+                la = audio_lag_estimate(env_fill, env_audio, s0, s1,
+                                        args.max_lag)
+                tot["lag_audio"] += sse_at_lag(ref, est, s0, s1, la)
+                lag_err.append(abs(la - best["lag"]))
             tot["zero"] += zero_sse
             tot["n"] += int(sm.sum())
 
@@ -203,18 +288,42 @@ def main() -> None:
                 peak_global ** 2 / max(sse / max(tot["n"], 1), 1e-20)))
 
         rep = {k: round(psnr(tot[k]), 4)
-               for k in ("asis", "lag", "gain", "lag_gain", "zero")}
+               for k in ("asis", "lag", "gain", "lag_gain", "lag_audio",
+                         "zero")}
         rep["gain_asis_db"] = round(rep["asis"] - rep["zero"], 4)
         rep["gain_lag_db"] = round(rep["lag"] - rep["zero"], 4)
         rep["gain_gain_db"] = round(rep["gain"] - rep["zero"], 4)
         rep["gain_lag_gain_db"] = round(rep["lag_gain"] - rep["zero"], 4)
+        rep["gain_lag_audio_db"] = round(rep["lag_audio"] - rep["zero"], 4)
         rep["median_abs_lag"] = float(np.median(np.abs(lags))) if lags else 0.0
+        rep["median_audio_lag_err"] = (float(np.median(lag_err))
+                                       if lag_err else 0.0)
+        if ctrl["n"]:
+            def cpsnr(sse):
+                return float(10 * np.log10(
+                    peak_global ** 2 / max(sse / ctrl["n"], 1e-20)))
+
+            rep["ctrl_bias_lag_db"] = round(
+                cpsnr(ctrl["lag"]) - cpsnr(ctrl["asis"]), 4)
+            rep["ctrl_bias_lag_gain_db"] = round(
+                cpsnr(ctrl["lag_gain"]) - cpsnr(ctrl["asis"]), 4)
+        if sse_by_lag is not None:
+            # one shared lag for the whole category: if this captures most of
+            # the per-span oracle, the misalignment is SYSTEMATIC (decoder
+            # group delay on predicted fills) and a receiver-side calibration
+            # constant is a legitimate fix; if ~0, it's per-span jitter
+            ci = int(np.argmin(sse_by_lag))
+            rep["const_lag"] = ci - args.max_lag
+            rep["gain_lag_const_db"] = round(
+                psnr(float(sse_by_lag[ci])) - rep["zero"], 4)
         report[cat] = rep
         print(f"[lag-oracle {cat}] masked PSNR as-is {rep['asis']:.2f} | "
               f"+lag {rep['lag']:.2f} | +gain {rep['gain']:.2f} | "
-              f"+lag+gain {rep['lag_gain']:.2f} | zero-fill {rep['zero']:.2f}"
-              f" (gains over zero: {rep['gain_asis_db']:+.3f} -> "
-              f"{rep['gain_lag_gain_db']:+.3f} dB)", flush=True)
+              f"+lag+gain {rep['lag_gain']:.2f} | audio-lag "
+              f"{rep['lag_audio']:.2f} | zero-fill {rep['zero']:.2f}"
+              f" (gains over zero: {rep['gain_asis_db']:+.3f} -> oracle "
+              f"{rep['gain_lag_gain_db']:+.3f} / audio "
+              f"{rep['gain_lag_audio_db']:+.3f} dB)", flush=True)
 
     if args.out:
         with open(args.out, "w") as f:
