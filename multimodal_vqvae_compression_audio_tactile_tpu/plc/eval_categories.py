@@ -19,7 +19,7 @@ from ..models import allpred_ar
 from ..utils import artifacts
 from ..eval import metrics as M
 from . import masks
-from .eval_uniform import CSV_FIELDS, eval_plc_file
+from .eval_uniform import CSV_FIELDS, _nanmean_or_nan, eval_plc_file
 
 
 def eval_plc_categories(
@@ -69,11 +69,13 @@ def eval_plc_categories(
             "plc_gain_masked_db": float(
                 np.nanmean([r["psnr_masked_db"] - r["psnr_masked_zero_db"]
                             for r in rows])),
-            "mean_psnr_masked_stockdec_db": float(
-                np.nanmean([r["psnr_masked_stockdec_db"] for r in rows])),
-            "dec_ft_gain_masked_db": float(
-                np.nanmean([r["psnr_masked_db"] - r["psnr_masked_stockdec_db"]
-                            for r in rows])),
+            # all-NaN without a dec_ft decoder: keep NaN without the
+            # "Mean of empty slice" RuntimeWarning noise
+            "mean_psnr_masked_stockdec_db": _nanmean_or_nan(
+                [r["psnr_masked_stockdec_db"] for r in rows]),
+            "dec_ft_gain_masked_db": _nanmean_or_nan(
+                [r["psnr_masked_db"] - r["psnr_masked_stockdec_db"]
+                 for r in rows]),
             "num_files": len(rows),
         }
         log(f"[plc-cat {cat}] PSNR {summary[cat]['mean_psnr_global_db']:.2f} dB "

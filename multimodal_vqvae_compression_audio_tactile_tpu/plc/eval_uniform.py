@@ -27,6 +27,12 @@ from ..eval import metrics as M
 from . import masks
 from . import model as plc_model
 
+def _nanmean_or_nan(vals) -> float:
+    a = np.asarray(vals, dtype=np.float64)
+    finite = a[np.isfinite(a)]
+    return float(finite.mean()) if finite.size else float("nan")
+
+
 CSV_FIELDS = [
     "stem", "len_samples",
     "psnr_global_db", "stsim_global",
@@ -221,12 +227,13 @@ def eval_plc_uniform(
             np.nanmean([r["psnr_masked_db"] - r["psnr_masked_zero_db"]
                         for r in rows])),
         # decoder-lever split (NaN without dec_ft): conceal-with-ft-decoder
-        # minus conceal-with-stock-decoder on identical fills
-        "mean_psnr_masked_stockdec_db": float(
-            np.nanmean([r["psnr_masked_stockdec_db"] for r in rows])),
-        "dec_ft_gain_masked_db": float(
-            np.nanmean([r["psnr_masked_db"] - r["psnr_masked_stockdec_db"]
-                        for r in rows])),
+        # minus conceal-with-stock-decoder on identical fills; all-NaN input
+        # stays NaN without numpy's "Mean of empty slice" warning
+        "mean_psnr_masked_stockdec_db": _nanmean_or_nan(
+            [r["psnr_masked_stockdec_db"] for r in rows]),
+        "dec_ft_gain_masked_db": _nanmean_or_nan(
+            [r["psnr_masked_db"] - r["psnr_masked_stockdec_db"]
+             for r in rows]),
         "num_files": len(rows),
         "peak_global": peak_global,
     }
