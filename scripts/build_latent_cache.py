@@ -25,6 +25,8 @@ def main() -> None:
     ap.add_argument("--backbone", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--max-pairs", type=int, default=0,
+                    help="cache only the first N pairs (0 = all; smoke runs)")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -44,6 +46,8 @@ def main() -> None:
     pairs = pair_stems(args.audio_dir, args.tact_dir)
     if not pairs:
         raise SystemExit("no pairs found")
+    if args.max_pairs:
+        pairs = pairs[: args.max_pairs]
     ds = SegmentDataset(pairs, sr=tcfg.target_sr, seg=tcfg.seg,
                         seed=args.seed)
 
