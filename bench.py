@@ -1,17 +1,23 @@
 """Benchmark: flagship codec serving latency + throughput on the local accelerator.
 
-Prints ONE JSON line: encode latency (ms per 1 s of signal) of the AllPredAR codec
-at the 5.25 kbps operating point (rvqB10_K128), measured with the reference's
-fencing protocol (3 warmups, block_until_ready-fenced repeats —
-Evaluation/dac_vcpwq_proposed6_latency.py:489-525) but reported as the p50 of 30
-repeats: the reference's mean-of-10 wobbles 20-30% here from host/tunnel
-dispatch jitter (the mean is still in extras). The reference times under CUDA
-AMP (autocast fp16, :512); the TPU equivalent is bf16 compute, which is what the
-StreamingCodec serving wrapper uses.
+Prints ONE JSON line: TRUE DEVICE encode latency (ms per 1 s of signal) of the
+AllPredAR codec at the 5.25 kbps operating point (rvqB10_K128).
 
-Baseline: the reference GPU measures 15.40 ms encode for rvqB10_K128 (BASELINE.md).
-vs_baseline = baseline_ms / our_ms (>1 = faster). Extras report decode latency and
-batched streaming throughput (frames/sec/chip, 1 frame = 1 s of signal).
+Measurement correction (round 3): on the tunneled axon runtime,
+``jax.block_until_ready`` resolves BEFORE device completion (measured: a
+fenced 4096^3 bf16 matmul "took" 27 us = 5 PFLOP/s = 25x chip peak), so the
+reference-style fenced repeat protocol (Evaluation/
+dac_vcpwq_proposed6_latency.py:489-525) measures client dispatch time here,
+not compute. Rounds 1-2 headline numbers carried that flaw. The headline now
+uses the chained-scan protocol (eval/latency.py::measure_device_ms): n
+data-dependent executions inside one lax.scan, one scalar pull, slope between
+two chain lengths = pure device ms/call — validated at 96% of bf16 peak on
+the calibration matmul. Client dispatch p50s remain in extras, labeled.
+
+The reference times under CUDA AMP (autocast fp16, :512) with a working
+torch.cuda.synchronize; its 15.40 ms encode / 2.75 ms decode for rvqB10_K128
+(BASELINE.md) are real GPU wall-clock, so OUR device time is the
+apples-to-apples number. vs_baseline = baseline_ms / device_ms (>1 = faster).
 """
 
 from __future__ import annotations
@@ -37,6 +43,7 @@ def _require_device(timeout_s: float = 180.0):
         try:
             import jax
 
+            jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
             out["platform"] = jax.devices()[0].platform
         except Exception as e:  # pragma: no cover - depends on tunnel state
             out["error"] = repr(e)
@@ -47,7 +54,7 @@ def _require_device(timeout_s: float = 180.0):
     if "platform" in out:
         return
     print(json.dumps({
-        "metric": "encode_ms_per_1s_signal",
+        "metric": "encode_device_ms_per_1s_signal",
         "value": 0.0,
         "unit": "ms",
         "vs_baseline": 0.0,
@@ -55,7 +62,7 @@ def _require_device(timeout_s: float = 180.0):
                            f"{timeout_s:.0f}s ({out.get('error', 'hang')}); "
                            "the TPU tunnel relay is likely down - see "
                            "CLAUDE.md tunnel-relay note. Healthy-state "
-                           "numbers: BENCH_r01.json"},
+                           "numbers: docs/demo_evidence_r3/"},
     }))
     os._exit(0)
 
@@ -77,47 +84,36 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    # single-stream latency (batch 1, bf16 compute like the reference's AMP)
+    # serving wrappers: b1 defaults to the two-phase parallel AR roll, b32 to
+    # the scan roll (auto policy, eval/serving.py; parity:
+    # tests/test_ar_parallel.py). bf16 compute like the reference's AMP.
     sc1 = StreamingCodec(params, cfg, batch=1)
+    sc1s = StreamingCodec(params, cfg, batch=1, parallel_roll=False)
+    sc32 = StreamingCodec(params, cfg, batch=32)
     a = jnp.zeros((1, 1, sc1.frame), jnp.float32)
     t = jnp.zeros((1, 1, sc1.frame), jnp.float32)
     z, _ = sc1.encode(a, t)
-    # p50 of 30 repeats as the headline: single-stream means wobble 20-30%
-    # run-to-run from host/tunnel dispatch jitter, medians are stable
-    enc = measure_ms_stats(lambda: sc1.encode(a, t), warmup=3, repeats=30)
-    dec = measure_ms_stats(lambda: sc1.decode(z), warmup=3, repeats=30)
-    enc_ms, dec_ms = enc["p50"], dec["p50"]
 
-    # batched streaming throughput
-    sc = StreamingCodec(params, cfg, batch=32)
-    tp = sc.throughput_frames_per_sec(repeats=10)
+    # ---- client dispatch latencies (pull-free; labeled as dispatch) -------
+    enc_disp = measure_ms_stats(lambda: sc1.encode(a, t), warmup=3, repeats=30)
+    dec_disp = measure_ms_stats(lambda: sc1.decode(z), warmup=3, repeats=30)
+    enc_disp_scan = measure_ms_stats(lambda: sc1s.encode(a, t), warmup=3,
+                                     repeats=30)
 
-    # A/B: two-phase parallel AR roll (models/ar_parallel.py) vs the scan
-    # roll, both single-stream and batched. Same transmitted codes
-    # (tests/test_ar_parallel.py); headline stays on the default path until a
-    # healthy TPU A/B justifies flipping StreamingCodec's default.
-    sc1p = StreamingCodec(params, cfg, batch=1, parallel_roll=True)
-    encp = measure_ms_stats(lambda: sc1p.encode(a, t), warmup=3, repeats=30)
-    scp = StreamingCodec(params, cfg, batch=32, parallel_roll=True)
-    tpp = scp.throughput_frames_per_sec(repeats=10)
-    par_ab = {
-        "encode_p50_ms_b1": round(encp["p50"], 3),
-        "encode_mean_ms_b1": round(encp["mean"], 3),
-        "encode_frames_per_sec_b32": round(tpp["encode_frames_per_sec"], 1),
-        "speedup_b1_p50": round(enc["p50"] / max(encp["p50"], 1e-9), 3),
-        "speedup_b32": round(tpp["encode_frames_per_sec"]
-                             / max(tp["encode_frames_per_sec"], 1e-9), 3),
-    }
+    # ---- TRUE device times (chained-scan; pulls — must run LAST) ----------
+    dt1 = sc1.device_time_ms(n_lo=4, n_hi=16, reps=2)
+    dt1s = sc1s.device_time_ms(n_lo=4, n_hi=16, reps=2)
+    dt32 = sc32.device_time_ms(n_lo=3, n_hi=10, reps=2)
 
-    # MFU / roofline accounting (round-2 VERDICT missing #2): FLOPs and
-    # bytes-accessed from XLA's compiled cost model, against the chip's bf16
-    # peak and HBM bandwidth; classifies each program as compute-,
-    # bandwidth-, or dispatch-bound. NaN fields if the backend hides costs.
+    enc_ms = dt1["encode_ms_per_batch"]
+    dec_ms = dt1["decode_ms_per_batch"]
+
+    # MFU / roofline from XLA's compiled cost model + DEVICE times
     from multimodal_vqvae_compression_audio_tactile_tpu.utils import roofline
 
     peaks = roofline.device_peaks()
     cost1 = sc1.cost_analysis()
-    cost32 = sc.cost_analysis()
+    cost32 = sc32.cost_analysis()
 
     def _mfu(cost, ms):
         r = roofline.summarize(cost["flops"], cost["bytes"], ms, peaks=peaks)
@@ -132,27 +128,39 @@ def main() -> None:
         "peak_hbm_gbps": peaks["hbm_gbps"],
         "encode_b1": _mfu(cost1["encode"], enc_ms),
         "decode_b1": _mfu(cost1["decode"], dec_ms),
-        "encode_b32": _mfu(cost32["encode"], tp["encode_ms_per_batch"]),
-        "decode_b32": _mfu(cost32["decode"], tp["decode_ms_per_batch"]),
+        "encode_b32": _mfu(cost32["encode"], dt32["encode_ms_per_batch"]),
+        "decode_b32": _mfu(cost32["decode"], dt32["decode_ms_per_batch"]),
     }
 
     print(json.dumps({
-        "metric": "encode_ms_per_1s_signal",
+        "metric": "encode_device_ms_per_1s_signal",
         "value": round(enc_ms, 3),
         "unit": "ms",
-        # apples-to-apples vs the reference protocol: its baseline constant is
-        # a MEAN (of 10), so the headline ratio divides by our mean, not p50
-        "vs_baseline": round(BASELINE_ENC_MS / enc["mean"], 3),
+        "vs_baseline": round(BASELINE_ENC_MS / enc_ms, 3),
         "extra": {
-            "decode_ms": round(dec_ms, 3),
-            "encode_mean_ms": round(enc["mean"], 3),
-            "encode_p95_ms": round(enc["p95"], 3),
-            "decode_mean_ms": round(dec["mean"], 3),
-            "encode_p50_vs_baseline_mean": round(BASELINE_ENC_MS / enc_ms, 3),
-            "decode_vs_baseline": round(BASELINE_DEC_MS / dec["mean"], 3),
-            "encode_frames_per_sec_b32": round(tp["encode_frames_per_sec"], 1),
-            "decode_frames_per_sec_b32": round(tp["decode_frames_per_sec"], 1),
-            "parallel_roll": par_ab,
+            "measurement": "chained-scan device time (see bench.py docstring;"
+                           " rounds 1-2 used fenced repeats, which this"
+                           " runtime resolves before device completion)",
+            "decode_device_ms": round(dec_ms, 3),
+            "decode_vs_baseline": round(BASELINE_DEC_MS / dec_ms, 3),
+            "encode_frames_per_sec_b32":
+                round(dt32["encode_frames_per_sec"], 1),
+            "decode_frames_per_sec_b32":
+                round(dt32["decode_frames_per_sec"], 1),
+            "encode_device_ms_b32": round(dt32["encode_ms_per_batch"], 3),
+            "decode_device_ms_b32": round(dt32["decode_ms_per_batch"], 3),
+            "ar_roll_ab_b1_device": {
+                "parallel_encode_ms": round(dt1["encode_ms_per_batch"], 3),
+                "scan_encode_ms": round(dt1s["encode_ms_per_batch"], 3),
+                "speedup": round(dt1s["encode_ms_per_batch"]
+                                 / max(dt1["encode_ms_per_batch"], 1e-9), 3),
+            },
+            "client_dispatch_p50_ms": {
+                "encode_b1": round(enc_disp["p50"], 3),
+                "encode_b1_p95": round(enc_disp["p95"], 3),
+                "decode_b1": round(dec_disp["p50"], 3),
+                "encode_b1_scan_roll": round(enc_disp_scan["p50"], 3),
+            },
             "mfu": mfu,
             "backend": jax.default_backend(),
         },

@@ -89,3 +89,63 @@ def measure_codec_latency_stats(
 
 def buffer_delay_ms(tokens_per_sec: float) -> float:
     return 1000.0 / tokens_per_sec if tokens_per_sec > 0 else float("nan")
+
+
+def measure_device_ms(step_fn: Callable, init, n_lo: int = 8, n_hi: int = 40,
+                      reps: int = 3, const_args: tuple = ()) -> dict:
+    """True per-execution DEVICE time of ``step_fn`` via chained-scan slope.
+
+    On the tunneled axon runtime ``block_until_ready`` resolves without
+    waiting for device completion (measured: a fenced 4096^3 bf16 matmul
+    "took" 27 us = 5 PFLOP/s, 25x chip peak — see
+    scripts/diag_throughput.py), so every fenced repeat-loop measures client
+    dispatch, not compute. The only host-visible event that truly
+    synchronizes is a device->host value pull. This helper therefore runs
+    ``step_fn`` chained ``n`` times inside ONE ``lax.scan`` (the carry makes
+    iteration i+1 data-dependent on i, forcing sequential device execution),
+    pulls a single scalar reduced from the final carry, and times the pull
+    for two chain lengths: the SLOPE is the per-execution device time, the
+    intercept absorbs dispatch + pull overhead (the ~25-35 ms tunnel floor)
+    and the first-pull process degradation.
+
+    Validated against physics: the 4096^3 matmul measures 0.725 ms/iter
+    = 189 TF/s = 96% of the v5e bf16 peak with this protocol.
+
+    ``step_fn``: (carry, *const_args) -> carry, jit-traceable,
+    shape-preserving; the caller must keep the carry numerically bounded
+    (values ARE executed). ``init``: the initial carry (device arrays).
+    ``const_args`` (e.g. model params) flow as jit ARGUMENTS — closing over
+    params would bake them into the HLO as constants, which the remote
+    compiler rejects (train/loop.py). Returns {"ms_per_call", "slope_ms",
+    "intercept_ms", "n_lo", "n_hi"}. NOTE: pulls to host — in a process that
+    must stay pull-free (bench headline dispatch numbers), call this LAST.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def timed(n):
+        @jax.jit
+        def run(c0, *ca):
+            c, _ = lax.scan(lambda c, _: (step_fn(c, *ca), ()), c0, None,
+                            length=n)
+            leaves = jax.tree_util.tree_leaves(c)
+            return jnp.float32(sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                                   for l in leaves))
+        float(run(init, *const_args))  # compile + first-pull degradation
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(init, *const_args))
+            best = min(best, time.perf_counter() - t0)
+        return best * 1000.0
+
+    t_lo, t_hi = timed(n_lo), timed(n_hi)
+    slope = (t_hi - t_lo) / (n_hi - n_lo)
+    return {
+        "ms_per_call": slope,
+        "slope_ms": slope,
+        "intercept_ms": t_lo - slope * n_lo,
+        "n_lo": n_lo,
+        "n_hi": n_hi,
+    }

@@ -32,7 +32,7 @@ class StreamingCodec:
                  batch: int, frame_sec: float = 1.0,
                  n_books_use: Optional[int] = None,
                  compute_dtype=jnp.bfloat16, fast: bool = True,
-                 mesh=None, parallel_roll: bool = False):
+                 mesh=None, parallel_roll: Optional[bool] = None):
         # serving default: native single-pass bf16 MXU matmuls for the conv
         # stacks and attention (the VQ score matmuls that pick transmitted
         # code indices stay HIGHEST — see CodecConfig.fast_serving). The
@@ -67,7 +67,13 @@ class StreamingCodec:
 
         # two-phase parallel AR roll (models/ar_parallel.py): the carry chain
         # is removable, so the roll runs as 2 batched passes instead of a
-        # sequential scan — same codes (parity: tests/test_ar_parallel.py)
+        # sequential scan — same codes (parity: tests/test_ar_parallel.py).
+        # Default is auto: TPU A/B (docs/demo_evidence_r3/bench_tpu_r3.json)
+        # measured 1.69x at batch 1 (dispatch-depth-bound regime) and 0.98x
+        # at batch 32 (MXU-bound regime), so small batches take the parallel
+        # roll and large batches keep the scan.
+        if parallel_roll is None:
+            parallel_roll = batch < 8
         if parallel_roll:
             from ..models import ar_parallel
             _enc_fn = ar_parallel.encode_latents_parallel
@@ -156,8 +162,77 @@ class StreamingCodec:
                                              z),
         }
 
+    def device_time_ms(self, n_lo: int = 4, n_hi: int = 16,
+                       reps: int = 3) -> dict:
+        """TRUE device time per encode/decode call (chained-scan protocol).
+
+        ``block_until_ready`` on the tunneled runtime resolves before device
+        completion (eval/latency.py::measure_device_ms), so the fenced
+        numbers from ``throughput_frames_per_sec``/``measure_ms_stats`` are
+        client dispatch times. This method chains the encode (and decode)
+        program n times inside one ``lax.scan`` — each iteration's input is
+        perturbed by a scalar reduced from the previous output, forcing
+        sequential device execution — and reports the slope between two
+        chain lengths: pure device ms per call, immune to dispatch overlap,
+        memoization, and the host-pull floor.
+
+        NOTE: pulls scalars to host (degrades this process's subsequent
+        dispatch to the ~25-35 ms floor) — call after all dispatch-latency
+        measurements. Returns {"encode": {...}, "decode": {...},
+        "encode_frames_per_sec", "decode_frames_per_sec"}.
+        """
+        from ..models import ar_parallel
+        from . import latency as L
+
+        cfg, cdt, nbu = self.cfg, self.compute_dtype, self.n_books_use
+        if self.parallel_roll:
+            _enc_fn = ar_parallel.encode_latents_parallel
+        else:
+            _enc_fn = allpred_ar.encode_latents
+
+        key = jax.random.key(3)
+        a0 = 0.1 * jax.random.normal(key, (self.batch, 1, self.frame),
+                                     jnp.float32)
+        t0_ = 0.1 * jax.random.normal(jax.random.key(4),
+                                      (self.batch, 1, self.frame),
+                                      jnp.float32)
+        a0, t0_ = self._put(a0), self._put(t0_)
+        z0, _ = self._encode(a0, t0_)
+        jax.block_until_ready(z0)
+
+        def enc_step(a, p, tc):
+            z, _ = _enc_fn(p, cfg, a.astype(cdt), tc.astype(cdt),
+                           n_books_use=nbu)
+            # bounded data dependency: next input = fresh signal + tiny
+            # tanh-squashed scalar from this output (negligible FLOPs);
+            # the per-iteration input change keeps the encode from being
+            # hoisted as loop-invariant
+            d = 1e-6 * jnp.tanh(jnp.mean(z.astype(jnp.float32)))
+            return (tc + d).astype(a.dtype)
+
+        def dec_step(z, p, zb):
+            y = dac.decode(p.tactile_dac, cfg.dac, z.astype(cdt))
+            d = 1e-6 * jnp.tanh(jnp.mean(y.astype(jnp.float32)))
+            return (zb + d).astype(z.dtype)
+
+        enc = L.measure_device_ms(enc_step, a0, n_lo=n_lo, n_hi=n_hi,
+                                  reps=reps, const_args=(self.params, t0_))
+        dec = L.measure_device_ms(dec_step, z0, n_lo=n_lo, n_hi=n_hi,
+                                  reps=reps, const_args=(self.params, z0))
+        out = {"encode": enc, "decode": dec}
+        for k in ("encode", "decode"):
+            ms = out[k]["ms_per_call"]
+            out[f"{k}_frames_per_sec"] = (
+                self.batch / (ms / 1e3) if ms > 0 else float("nan"))
+            out[f"{k}_ms_per_batch"] = ms
+        return out
+
     def throughput_frames_per_sec(self, repeats: int = 20) -> dict:
-        """Sustained batched frames/sec/chip for encode and decode."""
+        """Client-observed dispatch rate for encode and decode.
+
+        WARNING: on the tunneled runtime this measures DISPATCH throughput,
+        not device compute (fences resolve early — see device_time_ms); use
+        ``device_time_ms`` for physics-honest frames/sec and MFU."""
         a = jnp.zeros((self.batch, 1, self.frame), jnp.float32)
         t = jnp.zeros((self.batch, 1, self.frame), jnp.float32)
         z, _ = self._encode(a, t)

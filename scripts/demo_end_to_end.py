@@ -377,6 +377,11 @@ def main() -> None:
                 "n_pairs": len(eval_pairs), "synthetic_corpus": True,
                 # corpus-hardness knobs (docs/CORPUS_HARDNESS.md)
                 "decorrelate": args.decorrelate, "jitter_ms": args.jitter_ms,
+                # per-row latency columns are client dispatch p50s; the
+                # chained-scan TRUE device time at the flagship point rides
+                # along here (scripts/measure_latencies.py)
+                "latency_protocol": lat.get("latency_protocol"),
+                "device_time": lat.get("device_time"),
                 # the key "dac_24khz" keeps the reference JSON schema, but
                 # the rows are OUR pretrained DAC-class backbone (descript
                 # weights require network download)

@@ -75,6 +75,7 @@ def main() -> None:
         print(f"[lat] backbone n_q={nq}: enc p50 {enc['p50']:.3f} "
               f"dec p50 {dec['p50']:.3f}", file=sys.stderr, flush=True)
 
+    last = None
     if args.sweep_root:
         import os
         for run in artifacts.discover_runs(args.sweep_root):
@@ -96,6 +97,35 @@ def main() -> None:
             out["runs"][name] = _row(enc, dec)
             print(f"[lat] {name}: enc p50 {enc['p50']:.3f} "
                   f"dec p50 {dec['p50']:.3f}", file=sys.stderr, flush=True)
+            last = (params, rcfg, books, name)
+
+    # TRUE device time at one representative operating point (chained-scan
+    # slope, eval/latency.py::measure_device_ms). The per-row columns above
+    # are client DISPATCH times — on the tunneled runtime block_until_ready
+    # resolves before device completion, so they understate device compute.
+    # Device time barely varies across (books, K): the conv stacks dominate
+    # the FLOPs. Measured LAST because the protocol pulls to host (degrades
+    # subsequent dispatch in this process).
+    out["latency_protocol"] = "client_dispatch_p50"
+    if last is not None:
+        try:
+            from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving \
+                import StreamingCodec
+            params, rcfg, books, name = last
+            sc = StreamingCodec(params, rcfg, batch=1, n_books_use=books)
+            dt = sc.device_time_ms(n_lo=4, n_hi=16, reps=2)
+            out["device_time"] = {
+                "run": name,
+                "encode_device_ms": dt["encode_ms_per_batch"],
+                "decode_device_ms": dt["decode_ms_per_batch"],
+                "protocol": "chained_scan_slope",
+            }
+            print(f"[lat] device time ({name}): enc "
+                  f"{dt['encode_ms_per_batch']:.3f} dec "
+                  f"{dt['decode_ms_per_batch']:.3f}", file=sys.stderr,
+                  flush=True)
+        except Exception as e:  # pragma: no cover - backend-dependent
+            out["device_time"] = {"error": repr(e)}
 
     print(json.dumps(out))
 

@@ -148,3 +148,58 @@ class TestStreamingConcealer:
         m = np.zeros((8, 10), bool)
         y = scn.conceal(a, zt, m)
         assert y.shape == (8, 1, 3200) and bool(jnp.isfinite(y).all())
+
+
+class TestDeviceTime:
+    def test_auto_parallel_roll_policy(self, setup):
+        """batch<8 defaults to the parallel AR roll, batch>=8 to the scan
+        (TPU A/B: docs/demo_evidence_r3/bench_tpu_r3.json)."""
+        from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving import (
+            StreamingCodec)
+        params, _, _ = setup
+        sc_small = StreamingCodec(params, CFG, batch=2,
+                                  frame_sec=3200 / 24000)
+        sc_big = StreamingCodec(params, CFG, batch=8, frame_sec=3200 / 24000)
+        assert sc_small.parallel_roll is True
+        assert sc_big.parallel_roll is False
+        sc_forced = StreamingCodec(params, CFG, batch=2,
+                                   frame_sec=3200 / 24000,
+                                   parallel_roll=False)
+        assert sc_forced.parallel_roll is False
+
+    def test_device_time_ms_chained_scan(self, setup):
+        """Chained-scan device timing returns finite per-call ms and
+        frames/sec on CPU (where fences DO work, slope must be positive)."""
+        from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving import (
+            StreamingCodec)
+        params, _, _ = setup
+        sc = StreamingCodec(params, CFG, batch=2, frame_sec=3200 / 24000,
+                            compute_dtype=jnp.float32)
+        dt = sc.device_time_ms(n_lo=2, n_hi=5, reps=1)
+        assert np.isfinite(dt["encode_ms_per_batch"])
+        assert np.isfinite(dt["decode_ms_per_batch"])
+        assert dt["encode_ms_per_batch"] > 0
+        assert dt["encode_frames_per_sec"] > 0
+        # default bf16 fast-serving path: the chain carry must keep its
+        # dtype (regression: float32 perturbation promoted a bf16 carry)
+        sc16 = StreamingCodec(params, CFG, batch=1, frame_sec=3200 / 24000)
+        dt16 = sc16.device_time_ms(n_lo=2, n_hi=4, reps=1)
+        assert np.isfinite(dt16["encode_ms_per_batch"])
+        assert np.isfinite(dt16["decode_ms_per_batch"])
+
+    def test_measure_device_ms_slope_on_known_sleepless_work(self):
+        """The slope protocol on a deterministic compute step: per-call time
+        must scale ~linearly (slope within 3x between two measurements)."""
+        from multimodal_vqvae_compression_audio_tactile_tpu.eval.latency import (
+            measure_device_ms)
+
+        x0 = jnp.ones((256, 256), jnp.float32)
+        w = jnp.eye(256, dtype=jnp.float32) * 0.5
+
+        def step(c, wm):
+            return jnp.tanh(c @ wm + 0.1)
+
+        r = measure_device_ms(step, x0, n_lo=4, n_hi=32, reps=2,
+                              const_args=(w,))
+        assert r["ms_per_call"] > 0
+        assert np.isfinite(r["intercept_ms"])
