@@ -1,8 +1,16 @@
 """A/B the fused snake+conv residual-unit Pallas kernel on the serving path.
 
 Times StreamingCodec encode/decode at the 5.25 kbps flagship point with the
-fused kernel on vs off (both otherwise the bf16 fast-serving config), plus the
-batched throughput. Run on the TPU; prints a small JSON report.
+fused kernel on vs off (both otherwise the bf16 fast-serving config). Run on
+the TPU; prints a small JSON report.
+
+Round-3 correction: the round-2 verdicts from this script ("b32 fused 0.30 vs
+0.47 ms XLA, 59% win") were measured with block_until_ready-fenced repeats,
+which on the tunneled runtime resolve BEFORE device completion
+(docs/SERVING_LATENCY.md) — they compared dispatch overheads, not kernels.
+Each leg now reports the chained-scan DEVICE time
+(StreamingCodec.device_time_ms) alongside the dispatch p50; the device
+numbers decide the fused-kernel gate.
 """
 
 import dataclasses
@@ -31,8 +39,11 @@ def bench(cfg: CodecConfig, params, batch: int) -> dict:
     z, _ = sc.encode(a, t)
     enc = measure_ms_stats(lambda: sc.encode(a, t), warmup=3, repeats=20)
     dec = measure_ms_stats(lambda: sc.decode(z), warmup=3, repeats=20)
-    return {"encode_ms": enc["mean"], "encode_p50": enc["p50"],
-            "decode_ms": dec["mean"], "decode_p50": dec["p50"]}
+    dt = sc.device_time_ms(n_lo=3, n_hi=10, reps=2)
+    return {"encode_device_ms": dt["encode_ms_per_batch"],
+            "decode_device_ms": dt["decode_ms_per_batch"],
+            "encode_dispatch_p50": enc["p50"],
+            "decode_dispatch_p50": dec["p50"]}
 
 
 def main() -> None:
