@@ -347,6 +347,17 @@ def pretrain_backbone(
     best_epoch = 0       # host pulls of a 300 MB model can cost minutes/save)
     best_d = None        # (d_params, d_opt_state) snapshot for GAN recovery
     hist = {"train": [], "val": []}
+    # VQ-stall restart annealing (round-3, measured twice): a fresh backbone
+    # codebook can sit at 1-2 of 10 bits/book for 135+ epochs — dead-code
+    # reinit churn plus stale Adam second moments pin the encoder/codebook
+    # co-adaptation. A bare optimizer-moment reset at epoch 40 sent bits
+    # 2.1 -> 8.3 and val 0.245 -> 0.16 within 30 epochs, while the
+    # unreset control never escaped. Detect the stall from the per-epoch
+    # bits column and clear the moments in place (params and schedule kept).
+    stall_window = 30
+    stall_bits = 0.35 * float(np.log2(cfg.codebook_size))
+    bits_hist: list = []
+    last_reset_ep = 0
     acp = ckpt.AsyncCheckpointer()
     try:
         for ep in range(start_epoch, tcfg.epochs + 1):
@@ -403,6 +414,18 @@ def pretrain_backbone(
                     state = state._replace(
                         d_params=d_restored,
                         d_opt_state=jax.device_put(tx_d.init(d_restored)))
+
+            if packed.shape[0] > 2:
+                bits_hist.append(float(packed[1]))
+                window = bits_hist[-stall_window:]
+                if (len(window) >= stall_window
+                        and max(window) < stall_bits
+                        and ep - last_reset_ep >= stall_window):
+                    log(f"[pretrain] VQ stall (bits < {stall_bits:.1f} for "
+                        f"{stall_window} epochs): resetting optimizer moments")
+                    state = state._replace(
+                        opt_state=jax.device_put(tx.init(state.params)))
+                    last_reset_ep = ep
 
             if ep % save_every == 0 or ep == tcfg.epochs:
                 # async: the ~300 MB backbone pull overlaps the next epoch

@@ -107,7 +107,7 @@ run_stage decftC 7200 /tmp/r3_decft_category.log \
   python scripts/train_plc_decft.py --run-dir "$ROOT/plc_category" \
     --backbone "$ROOT/backbone/best.msgpack" \
     --audio-dir "$ROOT/corpus/audio" --tact-dir "$ROOT/corpus/tactile" \
-    --mode category --epochs 10 --batch 8
+    --mode category --epochs 10 --batch 8 --cat-probs 0.2,0.4,0.4
 
 # --- stage 5: n=150 evals (stock + FT decoder columns) -----------------------
 run_stage evalU 7200 /tmp/r3_evalU.log \

@@ -46,6 +46,13 @@ def main() -> None:
                     help="0 = pairs//batch")
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--w-masked-ft", type=float, default=1.0)
+    ap.add_argument("--cat-probs", default="",
+                    help="category mode: override the low,medium,high mask "
+                         "sampling probabilities for the FT only (e.g. "
+                         "'0.2,0.4,0.4' oversamples the medium/high bursts "
+                         "where the decode-side gap lives — "
+                         "docs/PLC_TIME_DOMAIN.md round-3 section). "
+                         "Evaluation keeps the reference probabilities.")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cpu", action="store_true")
@@ -71,6 +78,11 @@ def main() -> None:
 
     cfg = CodecConfig()
     pcfg = plc_config_from_meta(args.run_dir, PLCConfig())
+    if args.cat_probs:
+        import dataclasses
+        probs = tuple(float(x) for x in args.cat_probs.split(","))
+        assert len(probs) == 3 and abs(sum(probs) - 1.0) < 1e-6, probs
+        pcfg = dataclasses.replace(pcfg, cat_probs=probs)
     mode = args.mode
     if mode is None:
         try:
