@@ -22,9 +22,13 @@ log "main queue finished — hard stage starting"
 mkdir -p "$ROOT/backbone"
 cp "$MAIN"/backbone/best.msgpack "$ROOT/backbone/best.msgpack"
 
-timeout 10800 python scripts/demo_end_to_end.py --root "$ROOT" \
-  --pairs 1003 --dur-sec 2 --decorrelate 0.75 \
-  --codec-epochs 60 --batch 8 --cached-heads --no-plc \
+# reduced protocol (512 pairs, 40 epochs — val plateaus by ~40 per round-2)
+# so the stage fits the round's remaining TPU window; the ordering question
+# (does the proposed codec still beat backbone-alone when cross-modal
+# predictability is cut?) needs relative RD, not absolute scale
+timeout 7200 python scripts/demo_end_to_end.py --root "$ROOT" \
+  --pairs 512 --dur-sec 2 --decorrelate 0.75 \
+  --codec-epochs 40 --batch 8 --cached-heads --no-plc \
   --cache-file "$ROOT/latent_cache.npz" > /tmp/r3_demo_hard.log 2>&1
 rc=$?
 log "hard demo rc=$rc"
