@@ -48,6 +48,12 @@ class DacConfig:
     # variant (64-lane halo, up to 8k tiles). Off by default: enable after
     # scripts/bench_fused_resunits.py shows a win on the target chip.
     fused_resunits_b1: bool = False
+    # decoder upsampling as polyphase depth-to-space convs instead of
+    # lhs_dilation convs (models/dac.py::conv1d_transpose_poly): same math,
+    # maps to one stride-1 MXU matmul per block instead of a zero-dilated
+    # conv. Serving-path option (scripts/diag_decode.py A/B decides the
+    # fast_serving default); training keeps the dilated form.
+    poly_upsample: bool = False
 
     @property
     def hop(self) -> int:
@@ -149,11 +155,17 @@ class CodecConfig:
 
     def fast_serving(self) -> "CodecConfig":
         """Serving-precision variant: native bf16 MXU matmuls everywhere
-        except the code-index-determining VQ scores (always HIGHEST)."""
+        except the code-index-determining VQ scores (always HIGHEST).
+
+        fused_resunits stays OFF: the round-3 honest device-time A/B
+        (scripts/diag_decode.py, chained-scan protocol) measured the Pallas
+        resunit kernel LOSING to plain XLA at both b32 decode (74.4 vs
+        58.9 ms) and b32 encode (46.2 vs 42.5 ms) — every earlier fused
+        "win" was a client-dispatch-time artifact of the tunneled runtime's
+        early-resolving fences (docs/SERVING_LATENCY.md)."""
         return dataclasses.replace(
             self,
-            dac=dataclasses.replace(self.dac, precision="default",
-                                    fused_resunits=True),
+            dac=dataclasses.replace(self.dac, precision="default"),
             predictor=dataclasses.replace(self.predictor, precision="default"),
         )
 

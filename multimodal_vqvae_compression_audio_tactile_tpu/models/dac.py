@@ -89,6 +89,46 @@ def conv1d_transpose(p: dict, x: jax.Array, stride: int,
     return y + p["b"].astype(x.dtype)[None, :, None]
 
 
+def conv1d_transpose_poly(p: dict, x: jax.Array, stride: int,
+                          precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """Polyphase (depth-to-space) form of ``conv1d_transpose`` — same math,
+    TPU-native lowering.
+
+    ``conv1d_transpose`` expresses the upsample as an ``lhs_dilation`` conv;
+    XLA:TPU lowers that by processing the zero-dilated input, i.e. ~stride x
+    the useful MACs and an awkward MXU tiling. For k = 2*stride every output
+    sample y[t0*r + j] has exactly two taps:
+
+        y_full[t0*r + j] = x[t0-1] . w[:, :, j+r]  +  x[t0] . w[:, :, j]
+
+    so the whole op is ONE stride-1 kernel-2 conv producing r*C_out channels
+    ([T, 2*C_in] @ [2*C_in, r*C_out] on the MXU) followed by a depth-to-space
+    reshape and the same torch crop (padding=ceil(r/2), output_padding=r%2)
+    as ``conv1d_transpose``. Bit-compatible weights: parity vs the dilated
+    form is tested in tests/test_poly_upsample.py.
+    """
+    w = p["w"].astype(x.dtype)                     # [C_out, C_in, 2r]
+    c_out, c_in, k = w.shape
+    r = stride
+    if k != 2 * r:
+        raise ValueError(f"poly upsample requires k == 2*stride, got {k}, {r}")
+    pad = (r + 1) // 2
+    op = r % 2
+    B, _, T = x.shape
+    wt = jnp.transpose(w, (2, 0, 1))               # [2r, C_out, C_in]
+    # tap order: ker[..., 0] multiplies x[t0-1], ker[..., 1] multiplies x[t0]
+    ker = jnp.stack([wt[r:], wt[:r]], axis=-1)     # [r, C_out, C_in, 2]
+    ker = ker.reshape(r * c_out, c_in, 2)
+    y = jax.lax.conv_general_dilated(
+        x, ker, window_strides=(1,), padding=[(1, 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"), precision=precision,
+    )                                              # [B, r*C_out, T+1]
+    y = y.reshape(B, r, c_out, T + 1)
+    y = jnp.transpose(y, (0, 2, 3, 1)).reshape(B, c_out, (T + 1) * r)
+    y = y[:, :, pad:(T + 1) * r - (pad - op)]      # torch crop -> length T*r
+    return y + p["b"].astype(x.dtype)[None, :, None]
+
+
 def _snake_init(c: int) -> dict:
     return {"alpha": jnp.ones((c,), jnp.float32)}
 
@@ -217,9 +257,10 @@ def _decoder_apply(p: dict, cfg: DacConfig, z: jax.Array) -> jax.Array:
     prec = matmul_precision(cfg.precision)
     y = conv1d(p["in_conv"], z, padding=3, precision=prec)
     n_blocks = len(p["blocks"])
+    up = conv1d_transpose_poly if cfg.poly_upsample else conv1d_transpose
     for bi, (block, r) in enumerate(zip(p["blocks"], cfg.decoder_rates)):
         y = snake(block["snake"], y)
-        y = conv1d_transpose(block["up"], y, stride=r, precision=prec)
+        y = up(block["up"], y, stride=r, precision=prec)
         # fold the decoder's trailing out_snake into the last block's unit
         # stack (it runs at full output length — the widest tensor)
         post = p["out_snake"]["alpha"] if bi == n_blocks - 1 else None

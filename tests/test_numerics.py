@@ -78,8 +78,10 @@ class TestPrecisionConfig:
     single-pass bf16 for serving (CodecConfig.fast_serving)."""
 
     def test_fast_serving_flips_serving_fields_only(self):
-        """fast_serving() flips exactly: dac/predictor precision to "default"
-        and the fused resunit kernel on; everything else untouched."""
+        """fast_serving() flips exactly: dac/predictor precision to
+        "default"; everything else untouched (the fused resunit kernel
+        stays OFF — the round-3 honest device-time A/B measured it losing
+        to XLA at every batch, scripts/diag_decode.py)."""
         from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
             CodecConfig)
         base = CodecConfig()
@@ -88,12 +90,11 @@ class TestPrecisionConfig:
             ("highest", "highest")
         assert (fast.dac.precision, fast.predictor.precision) == \
             ("default", "default")
-        assert not base.dac.fused_resunits and fast.dac.fused_resunits
+        assert not fast.dac.fused_resunits and not fast.dac.poly_upsample
         import dataclasses
         assert dataclasses.replace(
             fast,
-            dac=dataclasses.replace(fast.dac, precision="highest",
-                                    fused_resunits=False),
+            dac=dataclasses.replace(fast.dac, precision="highest"),
             predictor=dataclasses.replace(fast.predictor,
                                           precision="highest")) == base
 

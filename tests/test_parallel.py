@@ -201,18 +201,23 @@ class TestMeshedServing:
 
 class TestMeshedFastServing:
     def test_meshed_fast_serving_with_fused_kernel(self):
-        """fast=True serving (bf16 + fused resunit Pallas kernel at batch>=8)
-        composes with GSPMD batch sharding. On CPU the kernel runs in
-        interpreter mode; compiled single-chip parity is checked on hardware
-        by scripts/check_fused_tpu_parity.py."""
+        """bf16 serving with the fused resunit Pallas kernel explicitly on
+        (off by default since the honest device-time A/B — see
+        fast_serving()) composes with GSPMD batch sharding. On CPU the
+        kernel runs in interpreter mode; compiled single-chip parity is
+        checked on hardware by scripts/check_fused_tpu_parity.py."""
+        import dataclasses
+
         from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving import (
             StreamingCodec)
 
         params = allpred_ar.codec_init(jax.random.key(0), CFG)
+        cfg_f = dataclasses.replace(
+            CFG, dac=dataclasses.replace(CFG.dac, fused_resunits=True))
         rng = np.random.default_rng(0)
         a = (0.3 * rng.standard_normal((8, 1, 3200))).astype(np.float32)
         t = (0.3 * rng.standard_normal((8, 1, 3200))).astype(np.float32)
-        sc = StreamingCodec(params, CFG, batch=8, frame_sec=3200 / 24000,
+        sc = StreamingCodec(params, cfg_f, batch=8, frame_sec=3200 / 24000,
                             fast=True, mesh=pm.create_mesh())
         z, c = sc.encode(a, t)
         y = np.asarray(sc.decode(z))
