@@ -134,6 +134,12 @@ class CodecConfig:
     scale_init: float = 0.08        # reference :295
     scale_min: float = 5e-3         # reference :322
     scale_max: float = 0.5
+    # run the two frozen encoder stacks (audio + tactile) as ONE vmapped
+    # call over stacked params instead of two sequential calls: doubles the
+    # effective batch through the narrow (C<128) front blocks and halves
+    # the dispatch depth. Serving-path option; parity tested in
+    # tests/test_dual_encoder.py, device A/B in scripts/diag_decode.py.
+    vmap_dual_encoder: bool = False
 
     def with_rvq(self, n_books: int, n_embed: int) -> "CodecConfig":
         return dataclasses.replace(

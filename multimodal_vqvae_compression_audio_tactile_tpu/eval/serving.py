@@ -32,7 +32,8 @@ class StreamingCodec:
                  batch: int, frame_sec: float = 1.0,
                  n_books_use: Optional[int] = None,
                  compute_dtype=jnp.bfloat16, fast: bool = True,
-                 mesh=None, parallel_roll: Optional[bool] = None):
+                 mesh=None, parallel_roll: Optional[bool] = None,
+                 poly_upsample: Optional[bool] = None):
         # serving default: native single-pass bf16 MXU matmuls for the conv
         # stacks and attention (the VQ score matmuls that pick transmitted
         # code indices stay HIGHEST — see CodecConfig.fast_serving). The
@@ -78,11 +79,14 @@ class StreamingCodec:
         # (dac.conv1d_transpose_poly) — honest device-time A/B
         # (scripts/diag_decode.py): b1 decode 2.59 vs 3.39 ms (dilated),
         # b32 62.7 vs 58.9 — so the poly form wins exactly in the
-        # small-batch regime, same crossover as the parallel roll
-        if batch < 8 and fast and not self.cfg.dac.poly_upsample:
+        # small-batch regime, same crossover as the parallel roll.
+        # None = auto policy; an explicit bool wins.
+        if poly_upsample is None:
+            poly_upsample = batch < 8 and fast
+        if poly_upsample != self.cfg.dac.poly_upsample:
             import dataclasses as _dc
             self.cfg = cfg = _dc.replace(
-                cfg, dac=_dc.replace(cfg.dac, poly_upsample=True))
+                cfg, dac=_dc.replace(cfg.dac, poly_upsample=poly_upsample))
         if parallel_roll:
             from ..models import ar_parallel
             _enc_fn = ar_parallel.encode_latents_parallel

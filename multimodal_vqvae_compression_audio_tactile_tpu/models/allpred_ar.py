@@ -184,10 +184,23 @@ def backbone_latents(params: CodecParams, cfg: CodecConfig,
     """Frozen backbone forward: (quantized audio latents, tactile teacher latents).
 
     Mirrors reference :302-304 (A_ENC -> A_QUANT, T_ENC), gradients stopped.
+
+    With ``cfg.vmap_dual_encoder`` the two encoder stacks run as one
+    vmapped call over stacked params (same math; the narrow front blocks
+    see 2x the batch and the dispatch chain halves — a serving option).
     """
-    za = dac.encode(params.audio_dac, cfg.dac, a)
+    if cfg.vmap_dual_encoder:
+        enc_params = jax.tree.map(
+            lambda x, y: jnp.stack([jnp.asarray(x), jnp.asarray(y)]),
+            params.audio_dac["encoder"], params.tactile_dac["encoder"])
+        xs = jnp.stack([a, tc])
+        zs = jax.vmap(lambda p, x: dac._encoder_apply(p, cfg.dac, x))(
+            enc_params, xs)
+        za, zt = zs[0], zs[1]
+    else:
+        za = dac.encode(params.audio_dac, cfg.dac, a)
+        zt = dac.encode(params.tactile_dac, cfg.dac, tc)
     qa, *_ = dac.quantize(params.audio_dac["quantizer"], za)
-    zt = dac.encode(params.tactile_dac, cfg.dac, tc)
     return jax.lax.stop_gradient(qa), jax.lax.stop_gradient(zt)
 
 

@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--stages", action="store_true",
                     help="also time per-block decode stages (b32, XLA path)")
     ap.add_argument("--skip-variants", action="store_true")
+    ap.add_argument("--dual-encoder", action="store_true",
+                    help="A/B the vmapped dual-encoder at b1 and b32")
     args = ap.parse_args()
 
     import jax
@@ -69,9 +71,10 @@ def main() -> None:
               flush=True)
         return r["ms_per_call"]
 
-    def run_encode(tag, b, fused, n_lo, n_hi):
+    def run_encode(tag, b, fused, n_lo, n_hi, vmap_enc=False):
         cfg_e = dataclasses.replace(
-            base, dac=dataclasses.replace(base.dac, fused_resunits=fused))
+            base, vmap_dual_encoder=vmap_enc,
+            dac=dataclasses.replace(base.dac, fused_resunits=fused))
         a0 = 0.1 * jax.random.normal(jax.random.key(3), (b, 1, frame),
                                      jnp.float32)
         t0 = 0.1 * jax.random.normal(jax.random.key(4), (b, 1, frame),
@@ -88,8 +91,14 @@ def main() -> None:
         r = L.measure_device_ms(step, a0, n_lo=n_lo, n_hi=n_hi, reps=2,
                                 const_args=(params, t0))
         print(json.dumps({"which": tag, "batch": b, "fused": fused,
+                          "vmap_enc": vmap_enc,
                           "ms": round(r["ms_per_call"], 4)}), flush=True)
         return r["ms_per_call"]
+
+    if args.dual_encoder:
+        for b, n_lo, n_hi in ((1, 4, 16), (32, 3, 10)):
+            for vmap_enc in (False, True):
+                run_encode("encode", b, False, n_lo, n_hi, vmap_enc=vmap_enc)
 
     if not args.skip_variants:
         for b, n_lo, n_hi in ((1, 4, 16), (32, 3, 10)):

@@ -203,3 +203,33 @@ class TestDeviceTime:
                               const_args=(w,))
         assert r["ms_per_call"] > 0
         assert np.isfinite(r["intercept_ms"])
+
+
+class TestSmallBatchPolyPolicy:
+    def test_poly_upsample_auto_at_small_batch(self, setup):
+        """batch < 8 + fast=True turns on the polyphase decoder upsample
+        (honest device-time A/B: b1 decode 2.59 vs 3.39 ms — see
+        docs/SERVING_LATENCY.md); batch >= 8 keeps the dilated form. The
+        two decode programs must agree on the same latents."""
+        from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving import (
+            StreamingCodec)
+        params, a, tc = setup
+        sc_small = StreamingCodec(params, CFG, batch=2,
+                                  frame_sec=3200 / 24000)
+        sc_big = StreamingCodec(params, CFG, batch=8, frame_sec=3200 / 24000)
+        assert sc_small.cfg.dac.poly_upsample
+        assert not sc_big.cfg.dac.poly_upsample
+        # numeric parity of the two decode programs at HIGHEST/fp32 (the
+        # bf16 fast path differs only by rounding; exact-math parity is
+        # covered op-level in test_poly_upsample.py)
+        sc_p = StreamingCodec(params, CFG, batch=2, frame_sec=3200 / 24000,
+                              compute_dtype=jnp.float32, fast=False,
+                              poly_upsample=True)
+        sc_d = StreamingCodec(params, CFG, batch=2, frame_sec=3200 / 24000,
+                              compute_dtype=jnp.float32, fast=False,
+                              poly_upsample=False)
+        assert sc_p.cfg.dac.poly_upsample and not sc_d.cfg.dac.poly_upsample
+        z, _ = sc_p.encode(np.asarray(a), np.asarray(tc))
+        np.testing.assert_allclose(np.asarray(sc_p.decode(z)),
+                                   np.asarray(sc_d.decode(z)),
+                                   rtol=1e-4, atol=1e-5)
