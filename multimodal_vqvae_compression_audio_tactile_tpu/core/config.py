@@ -135,10 +135,12 @@ class CodecConfig:
     scale_min: float = 5e-3         # reference :322
     scale_max: float = 0.5
     # run the two frozen encoder stacks (audio + tactile) as ONE vmapped
-    # call over stacked params instead of two sequential calls: doubles the
-    # effective batch through the narrow (C<128) front blocks and halves
-    # the dispatch depth. Serving-path option; parity tested in
-    # tests/test_dual_encoder.py, device A/B in scripts/diag_decode.py.
+    # call over stacked params instead of two sequential calls. MEASURED
+    # AND REJECTED on v5e-1 (scripts/diag_decode.py --dual-encoder): XLA
+    # lowers the weight-batched convs pathologically — b1 encode 20.9 vs
+    # 1.77 ms, b32 82.1 vs 41.9. Keep OFF; retained as the parity-tested
+    # counterexample (tests/test_dual_encoder.py) so nobody re-tries the
+    # "obvious" fusion without checking docs/SERVING_LATENCY.md.
     vmap_dual_encoder: bool = False
 
     def with_rvq(self, n_books: int, n_embed: int) -> "CodecConfig":
