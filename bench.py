@@ -132,6 +132,23 @@ def main() -> None:
         "decode_b32": _mfu(cost32["decode"], dt32["decode_ms_per_batch"]),
     }
 
+    # plausibility gate (round-3 ADVICE): the chained-scan slope is the only
+    # defense against client-side memoization on this runtime — if it ever
+    # collapses (<= 0) or implies more FLOP/s than the chip can do, refuse
+    # the headline instead of publishing a physically impossible number.
+    suspect = [k for k, ms in (("encode_b1", enc_ms), ("decode_b1", dec_ms),
+                               ("encode_b32", dt32["encode_ms_per_batch"]),
+                               ("decode_b32", dt32["decode_ms_per_batch"]))
+               if ms <= 0 or (mfu[k]["mfu"] or 0) > 1.05]
+    if suspect:
+        print(json.dumps({
+            "metric": "encode_device_ms_per_1s_signal", "value": 0.0,
+            "unit": "ms", "vs_baseline": 0.0,
+            "extra": {"error": "implausible device-time slope (memoization "
+                               "or negative slope) on: " + ",".join(suspect),
+                      "mfu": mfu}}))
+        return
+
     print(json.dumps({
         "metric": "encode_device_ms_per_1s_signal",
         "value": round(enc_ms, 3),

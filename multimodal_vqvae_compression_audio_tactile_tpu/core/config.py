@@ -54,6 +54,12 @@ class DacConfig:
     # conv. Serving-path option (scripts/diag_decode.py A/B decides the
     # fast_serving default); training keeps the dilated form.
     poly_upsample: bool = False
+    # run the encoder/decoder conv stacks TIME-MAJOR ([B, T, C] — channels in
+    # lanes, ops/timeconv.py): every conv becomes channel-dim MXU matmuls,
+    # fixing the narrow-stage (C < 256) lane underutilization that capped the
+    # NCH layout at 9-18% MFU (docs/MFU.md, round-4 target). Same params,
+    # parity-tested vs the NCH path; serving-path option like poly_upsample.
+    time_major: bool = False
 
     @property
     def hop(self) -> int:

@@ -287,13 +287,18 @@ class StreamingConcealer:
                  batch: int, frame_sec: float = 1.0,
                  mask_embed: bool = False,
                  compute_dtype=jnp.bfloat16, fast: bool = True,
-                 mesh=None):
+                 mesh=None, poly_upsample: Optional[bool] = None):
         self.cfg = cfg = cfg.fast_serving() if fast else cfg
-        if batch < 8 and fast and not cfg.dac.poly_upsample:
-            # same small-batch polyphase-upsample policy as StreamingCodec
+        # same small-batch polyphase-upsample auto policy as StreamingCodec;
+        # an explicit bool wins (round-3 ADVICE: constructor opt-out).
+        # Non-2r up-conv geometry is safe either way: the decoder falls back
+        # per block (models/dac.py::_decoder_apply geometry guard).
+        if poly_upsample is None:
+            poly_upsample = batch < 8 and fast
+        if poly_upsample != cfg.dac.poly_upsample:
             import dataclasses as _dc
             self.cfg = cfg = _dc.replace(
-                cfg, dac=_dc.replace(cfg.dac, poly_upsample=True))
+                cfg, dac=_dc.replace(cfg.dac, poly_upsample=poly_upsample))
         self.mesh = mesh
         if mesh is not None:
             from ..parallel import mesh as pmesh

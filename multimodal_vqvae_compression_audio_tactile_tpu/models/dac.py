@@ -234,6 +234,27 @@ def _encoder_apply(p: dict, cfg: DacConfig, x: jax.Array) -> jax.Array:
 
 # ---------------------------------------------------------------- decoder
 
+def _encoder_apply_tm(p: dict, cfg: DacConfig, x: jax.Array) -> jax.Array:
+    """Time-major encoder (ops/timeconv.py): same params, same math as
+    ``_encoder_apply``, but the conv stacks run in [B, T, C] layout so the
+    narrow front-end stages (C=64 @ T=24k ...) hit the MXU through
+    channel-dim matmuls instead of XLA's NCH conv lowering (round-4 perf
+    target, docs/MFU.md). Parity: tests/test_timeconv.py."""
+    from ..ops import timeconv as tc
+
+    prec = matmul_precision(cfg.precision)
+    y = jnp.transpose(x, (0, 2, 1))                    # [B, T, 1]
+    y = tc.conv_tm(p["in_conv"], y, precision=prec)
+    for block, r in zip(p["blocks"], cfg.encoder_rates):
+        for unit, dil in zip(block["units"], _DILATIONS):
+            y = tc.resunit_tm(unit, y, dil, precision=prec)
+        y = tc.snake_tm(block["snake"]["alpha"], y)
+        y = tc.down_tm(block["down"], y, stride=r, precision=prec)
+    y = tc.snake_tm(p["out_snake"]["alpha"], y)
+    y = tc.conv_tm(p["out_conv"], y, precision=prec)   # k=3, SAME
+    return jnp.transpose(y, (0, 2, 1))                 # [B, C_lat, T/hop]
+
+
 def _decoder_init(key: jax.Array, cfg: DacConfig) -> dict:
     keys = jax.random.split(key, 2 + 5 * len(cfg.decoder_rates))
     d = cfg.decoder_dim
@@ -253,12 +274,25 @@ def _decoder_init(key: jax.Array, cfg: DacConfig) -> dict:
     return params
 
 
+def _poly_geometry_ok(dec_p: dict, rates) -> bool:
+    """True when every decoder up-conv kernel is exactly 2*stride — the
+    geometry both the polyphase form and the time-major form require. Own
+    checkpoints always satisfy it (torch-DAC DecoderBlock uses k=2r); an
+    imported checkpoint with any other k falls back to the dilated form
+    instead of crashing at trace time (round-3 ADVICE)."""
+    return all(b["up"]["w"].shape[-1] == 2 * r
+               for b, r in zip(dec_p["blocks"], rates))
+
+
 def _decoder_apply(p: dict, cfg: DacConfig, z: jax.Array) -> jax.Array:
     prec = matmul_precision(cfg.precision)
     y = conv1d(p["in_conv"], z, padding=3, precision=prec)
     n_blocks = len(p["blocks"])
-    up = conv1d_transpose_poly if cfg.poly_upsample else conv1d_transpose
     for bi, (block, r) in enumerate(zip(p["blocks"], cfg.decoder_rates)):
+        # per-block static geometry guard: poly requires k == 2r
+        up = (conv1d_transpose_poly
+              if cfg.poly_upsample and block["up"]["w"].shape[-1] == 2 * r
+              else conv1d_transpose)
         y = snake(block["snake"], y)
         y = up(block["up"], y, stride=r, precision=prec)
         # fold the decoder's trailing out_snake into the last block's unit
@@ -267,6 +301,30 @@ def _decoder_apply(p: dict, cfg: DacConfig, z: jax.Array) -> jax.Array:
         y = _unit_stack(block["units"], y, cfg, prec, post_alpha=post)
     y = conv1d(p["out_conv"], y, padding=3, precision=prec)
     return jnp.tanh(y)
+
+
+def _decoder_apply_tm(p: dict, cfg: DacConfig, z: jax.Array) -> jax.Array:
+    """Time-major decoder (ops/timeconv.py): the [B, T, C] twin of
+    ``_decoder_apply``. The decoder tail (C192 @ T12k, C96 @ T24k) carried
+    ~41 of 59 ms of b32 decode at 15-18% MFU in the NCH layout
+    (docs/demo_evidence_r3/diag_decode_device_ab.jsonl); time-major turns
+    every tail conv into lane-aligned matmuls. Parity: tests/test_timeconv.py."""
+    from ..ops import timeconv as tc
+
+    prec = matmul_precision(cfg.precision)
+    y = jnp.transpose(z, (0, 2, 1))                    # [B, T_lat, C]
+    y = tc.conv_tm(p["in_conv"], y, precision=prec)
+    n_blocks = len(p["blocks"])
+    for bi, (block, r) in enumerate(zip(p["blocks"], cfg.decoder_rates)):
+        y = tc.snake_tm(block["snake"]["alpha"], y)
+        y = tc.up_tm(block["up"], y, stride=r, precision=prec)
+        for unit, dil in zip(block["units"], _DILATIONS):
+            y = tc.resunit_tm(unit, y, dil, precision=prec)
+        if bi == n_blocks - 1:
+            y = tc.snake_tm(p["out_snake"]["alpha"], y)
+    y = tc.conv_tm(p["out_conv"], y, precision=prec)
+    y = jnp.tanh(y)
+    return jnp.transpose(y, (0, 2, 1))                 # [B, 1, T]
 
 
 # ---------------------------------------------------------------- quantizer
@@ -452,12 +510,19 @@ def dac_init(key: jax.Array, cfg: DacConfig) -> dict:
 @partial(jax.jit, static_argnames=("cfg",))
 def encode(params: dict, cfg: DacConfig, x: jax.Array) -> jax.Array:
     """x [B, 1, T] -> continuous latent z [B, C, T/hop] (= reference A_ENC/T_ENC)."""
+    if cfg.time_major and all(
+            b["down"]["w"].shape[-1] == 2 * r
+            for b, r in zip(params["encoder"]["blocks"], cfg.encoder_rates)):
+        return _encoder_apply_tm(params["encoder"], cfg, x)
     return _encoder_apply(params["encoder"], cfg, x)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def decode(params: dict, cfg: DacConfig, z: jax.Array) -> jax.Array:
     """z [B, C, T] -> waveform [B, 1, T*hop] (= reference T_DEC)."""
+    if cfg.time_major and _poly_geometry_ok(params["decoder"],
+                                            cfg.decoder_rates):
+        return _decoder_apply_tm(params["decoder"], cfg, z)
     return _decoder_apply(params["decoder"], cfg, z)
 
 

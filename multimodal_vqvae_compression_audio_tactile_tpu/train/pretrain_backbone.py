@@ -342,6 +342,26 @@ def pretrain_backbone(
         # commit once: numpy jit args re-upload per call (see train/loop.py)
         state = jax.device_put(state)
 
+    def reset_moments(opt_state, new_params, opt):
+        """Zero the float optimizer moments, KEEP every integer counter.
+
+        A bare ``opt.init`` also zeroes optax's internal step counts, so the
+        warmup+cosine schedule restarts from schedule(0) mid-run — LR ramps
+        back to peak and the final LR never reaches the scheduled minimum
+        (round-3 ADVICE, medium). Integer/bool leaves (schedule counts,
+        apply_if_finite counters) come from the LIVE state; float leaves
+        (Adam mu/nu) come from the fresh init. Placement matches the rest of
+        the training state (replicated on the mesh when one is active)."""
+        fresh = opt.init(new_params)
+        merged = jax.tree.map(
+            lambda o, f: o if (jnp.issubdtype(jnp.asarray(f).dtype,
+                                              jnp.integer)
+                               or jnp.asarray(f).dtype == jnp.bool_) else f,
+            opt_state, fresh)
+        if mesh is not None:
+            return pmesh.shard_replicated(mesh, merged)
+        return jax.device_put(merged)
+
     best_val = float("inf")
     best_params = None   # kept on device; written to disk at the end (device->
     best_epoch = 0       # host pulls of a 300 MB model can cost minutes/save)
@@ -404,8 +424,9 @@ def pretrain_backbone(
                     f"{hist['train'][-1]:.3f} vs best val {best_val:.3f}): "
                     f"restoring best (epoch {best_epoch}), resetting optimizer")
                 restored = jax.tree.map(jnp.array, best_params)
-                state = state._replace(params=restored,
-                                       opt_state=jax.device_put(tx.init(restored)))
+                state = state._replace(
+                    params=restored,
+                    opt_state=reset_moments(state.opt_state, restored, tx))
                 if gan is not None and best_d is not None:
                     # restore the adversary too: keeping the diverged discriminator
                     # (and its optimizer moments) re-exposes the restored generator
@@ -413,7 +434,8 @@ def pretrain_backbone(
                     d_restored = jax.tree.map(jnp.array, best_d)
                     state = state._replace(
                         d_params=d_restored,
-                        d_opt_state=jax.device_put(tx_d.init(d_restored)))
+                        d_opt_state=reset_moments(state.d_opt_state,
+                                                  d_restored, tx_d))
 
             if packed.shape[0] > 2:
                 bits_hist.append(float(packed[1]))
@@ -424,7 +446,8 @@ def pretrain_backbone(
                     log(f"[pretrain] VQ stall (bits < {stall_bits:.1f} for "
                         f"{stall_window} epochs): resetting optimizer moments")
                     state = state._replace(
-                        opt_state=jax.device_put(tx.init(state.params)))
+                        opt_state=reset_moments(state.opt_state, state.params,
+                                                tx))
                     last_reset_ep = ep
 
             if ep % save_every == 0 or ep == tcfg.epochs:

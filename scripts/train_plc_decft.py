@@ -80,8 +80,14 @@ def main() -> None:
     pcfg = plc_config_from_meta(args.run_dir, PLCConfig())
     if args.cat_probs:
         import dataclasses
-        probs = tuple(float(x) for x in args.cat_probs.split(","))
-        assert len(probs) == 3 and abs(sum(probs) - 1.0) < 1e-6, probs
+        try:
+            probs = tuple(float(x) for x in args.cat_probs.split(","))
+        except ValueError:
+            ap.error(f"--cat-probs must be three comma-separated floats, "
+                     f"got {args.cat_probs!r}")
+        if len(probs) != 3 or abs(sum(probs) - 1.0) > 1e-6:
+            ap.error(f"--cat-probs needs exactly 3 probabilities summing to "
+                     f"1.0, got {probs}")
         pcfg = dataclasses.replace(pcfg, cat_probs=probs)
     mode = args.mode
     if mode is None:
