@@ -366,6 +366,9 @@ def pretrain_backbone(
     best_params = None   # kept on device; written to disk at the end (device->
     best_epoch = 0       # host pulls of a 300 MB model can cost minutes/save)
     best_d = None        # (d_params, d_opt_state) snapshot for GAN recovery
+    best_saved_ep = 0    # periodic best write: a timeout/SIGKILL mid-run must
+    #                      not lose best.msgpack (round-3 queues budget-fit the
+    #                      epoch count solely to guarantee the after-loop write)
     hist = {"train": [], "val": []}
     # VQ-stall restart annealing (round-3, measured twice): a fresh backbone
     # codebook can sit at 1-2 of 10 bits/book for 135+ epochs — dead-code
@@ -468,6 +471,12 @@ def pretrain_backbone(
                 best_params = jax.tree.map(jnp.array, state.params)  # device copy
                 if gan is not None:
                     best_d = jax.tree.map(jnp.array, state.d_params)
+                if ep - best_saved_ep >= save_every:
+                    # throttled async write so a killed run keeps a recent
+                    # best (same cadence as last.msgpack; pull overlaps epochs)
+                    acp.save(os.path.join(out_dir, "best.msgpack"),
+                             best_params, best_epoch, hist)
+                    best_saved_ep = ep
 
         if best_params is not None:
             acp.save(os.path.join(out_dir, "best.msgpack"),
