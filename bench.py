@@ -108,29 +108,93 @@ def main() -> None:
     enc_ms = dt1["encode_ms_per_batch"]
     dec_ms = dt1["decode_ms_per_batch"]
 
-    # MFU / roofline from XLA's compiled cost model + DEVICE times
-    from multimodal_vqvae_compression_audio_tactile_tpu.utils import roofline
+    # ---- kernel-target tail stages (round-4: the C<128 resunit stacks) ----
+    # Timed inline (BENCH_STAGES=0 skips) so the gating artifact carries the
+    # per-stage evidence the kernel claims cite; full 10-stage breakdown
+    # lives in scripts/diag_decode.py --stages.
+    import os as _os
+    stages = {}
+    if _os.environ.get("BENCH_STAGES", "1") != "0":
+        from multimodal_vqvae_compression_audio_tactile_tpu.eval import (
+            latency as L)
+        from multimodal_vqvae_compression_audio_tactile_tpu.models import dac
+
+        dcfg, cdt = sc32.cfg.dac, sc32.compute_dtype
+        prec = dac.matmul_precision(dcfg.precision)
+
+        def _stack(p, x, bi):
+            for u, dil in zip(p["decoder"]["blocks"][bi]["units"],
+                              dac._DILATIONS):
+                x = dac._resunit_apply(u, x, dil, precision=prec)
+            return x
+
+        for bi, c, t in ((2, 192, 12000), (3, 96, 24000)):
+            x0 = jax.device_put(0.05 * jax.random.normal(
+                jax.random.key(9), (32, c, t), jnp.float32))
+
+            def step(x, p, xb, bi=bi):
+                y = _stack(p, x.astype(cdt), bi)
+                d = 1e-6 * jnp.tanh(jnp.mean(y.astype(jnp.float32)))
+                return (xb + d).astype(x.dtype)
+
+            r = L.measure_device_ms(step, x0, n_lo=3, n_hi=10, reps=2,
+                                    const_args=(sc32.params.tactile_dac, x0))
+            stages[f"units{bi}_C{c}_T{t}_b32_ms"] = round(r["ms_per_call"], 3)
+
+    # MFU / roofline from XLA's compiled cost model + DEVICE times, cross-
+    # checked against the closed-form hand count (utils/flops.py — the
+    # round-3 3x accounting discrepancy arbiter, tests/test_flops.py)
+    from multimodal_vqvae_compression_audio_tactile_tpu.utils import (
+        flops as F, roofline)
 
     peaks = roofline.device_peaks()
     cost1 = sc1.cost_analysis()
     cost32 = sc32.cost_analysis()
+    t_sig = cfg.dac.sample_rate  # 1 s signal
+    hand = {
+        "encode_b1": F.codec_encode_front_flops(cfg, t_sig, 1) / 1e9,
+        "decode_b1": F.codec_decode_flops(cfg, t_sig, 1) / 1e9,
+        "encode_b32": F.codec_encode_front_flops(cfg, t_sig, 32) / 1e9,
+        "decode_b32": F.codec_decode_flops(cfg, t_sig, 32) / 1e9,
+    }
 
-    def _mfu(cost, ms):
+    def _mfu(cost, ms, key):
         r = roofline.summarize(cost["flops"], cost["bytes"], ms, peaks=peaks)
         keep = ("gflops_per_call", "achieved_tflops", "mfu", "hbm_frac",
                 "intensity_flop_per_byte", "bound")
-        return {k: (round(r[k], 4) if r[k] == r[k] else None) if isinstance(
+        out = {k: (round(r[k], 4) if r[k] == r[k] else None) if isinstance(
             r[k], float) else r[k] for k in keep}
+        # audit trail: XLA cost over hand count (≈1.0 expected; encode runs
+        # slightly over the front-end-only count — the AR roll's share)
+        if cost["flops"] == cost["flops"] and hand[key] > 0:
+            out["cost_vs_hand_count"] = round(
+                cost["flops"] / 1e9 / hand[key], 3)
+        return out
 
     mfu = {
         "chip": peaks["kind"],
         "peak_bf16_tflops": peaks["tflops"],
         "peak_hbm_gbps": peaks["hbm_gbps"],
-        "encode_b1": _mfu(cost1["encode"], enc_ms),
-        "decode_b1": _mfu(cost1["decode"], dec_ms),
-        "encode_b32": _mfu(cost32["encode"], dt32["encode_ms_per_batch"]),
-        "decode_b32": _mfu(cost32["decode"], dt32["decode_ms_per_batch"]),
+        "flops_source": "XLA compiled cost; hand count utils/flops.py",
+        "encode_b1": _mfu(cost1["encode"], enc_ms, "encode_b1"),
+        "decode_b1": _mfu(cost1["decode"], dec_ms, "decode_b1"),
+        "encode_b32": _mfu(cost32["encode"], dt32["encode_ms_per_batch"],
+                           "encode_b32"),
+        "decode_b32": _mfu(cost32["decode"], dt32["decode_ms_per_batch"],
+                           "decode_b32"),
     }
+    # roll/upsample identity per program (round-3 VERDICT weak #6): which
+    # program each row actually costed
+    mfu["encode_b1"]["roll"] = "parallel" if sc1.parallel_roll else "scan"
+    mfu["encode_b32"]["roll"] = "parallel" if sc32.parallel_roll else "scan"
+    mfu["decode_b1"]["upsample"] = (
+        "polyphase" if sc1.cfg.dac.poly_upsample else "dilated")
+    mfu["decode_b32"]["upsample"] = (
+        "polyphase" if sc32.cfg.dac.poly_upsample else "dilated")
+    mfu["decode_b1"]["time_major"] = bool(
+        getattr(sc1.cfg.dac, "time_major", False))
+    mfu["decode_b32"]["time_major"] = bool(
+        getattr(sc32.cfg.dac, "time_major", False))
 
     # plausibility gate (round-3 ADVICE): the chained-scan slope is the only
     # defense against client-side memoization on this runtime — if it ever
@@ -178,6 +242,15 @@ def main() -> None:
                 "decode_b1": round(dec_disp["p50"], 3),
                 "encode_b1_scan_roll": round(enc_disp_scan["p50"], 3),
             },
+            # rep-to-rep slope spread so README claims can cite mean±spread
+            # instead of a single draw (round-3 VERDICT weak #5)
+            "slope_spread_ms": {
+                "encode_b1": dt1["encode"].get("slope_spread_ms"),
+                "decode_b1": dt1["decode"].get("slope_spread_ms"),
+                "encode_b32": dt32["encode"].get("slope_spread_ms"),
+                "decode_b32": dt32["decode"].get("slope_spread_ms"),
+            },
+            "decode_tail_stages_b32_ms": stages,
             "mfu": mfu,
             "backend": jax.default_backend(),
         },

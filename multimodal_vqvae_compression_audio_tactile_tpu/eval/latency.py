@@ -133,19 +133,26 @@ def measure_device_ms(step_fn: Callable, init, n_lo: int = 8, n_hi: int = 40,
             return jnp.float32(sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
                                    for l in leaves))
         float(run(init, *const_args))  # compile + first-pull degradation
-        best = float("inf")
+        ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             float(run(init, *const_args))
-            best = min(best, time.perf_counter() - t0)
-        return best * 1000.0
+            ts.append((time.perf_counter() - t0) * 1000.0)
+        return ts
 
-    t_lo, t_hi = timed(n_lo), timed(n_hi)
-    slope = (t_hi - t_lo) / (n_hi - n_lo)
+    ts_lo, ts_hi = timed(n_lo), timed(n_hi)
+    slope = (min(ts_hi) - min(ts_lo)) / (n_hi - n_lo)
+    # per-rep paired slopes: a cheap run-to-run spread estimate so bench
+    # artifacts can publish mean±spread instead of a single draw (round-3
+    # VERDICT weak #5: README quoted best-session numbers)
+    rep_slopes = [(h - l) / (n_hi - n_lo) for l, h in zip(ts_lo, ts_hi)]
     return {
         "ms_per_call": slope,
         "slope_ms": slope,
-        "intercept_ms": t_lo - slope * n_lo,
+        "slope_reps_ms": [round(s, 4) for s in rep_slopes],
+        "slope_spread_ms": (round(max(rep_slopes) - min(rep_slopes), 4)
+                            if rep_slopes else 0.0),
+        "intercept_ms": min(ts_lo) - slope * n_lo,
         "n_lo": n_lo,
         "n_hi": n_hi,
     }
