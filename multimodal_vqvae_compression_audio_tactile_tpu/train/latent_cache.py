@@ -113,11 +113,19 @@ def _crop_range(t_tok_total: int, seg_tok: int) -> tuple[int, int]:
     Raises instead of clamping: a too-short cache would otherwise make
     gather_crops' dynamic_slice silently clamp the start and return
     shifted/duplicated crops — corrupting cached-path training.
+
+    Degenerate case: when the cached files are barely longer than (or exactly)
+    one segment, there is no room for the EDGE_TOKENS interior margin. Those
+    crops are still exact — a whole-file crop involves no waveform cropping,
+    so there are no edge-effect tokens to avoid — so fall back to the full
+    valid offset range instead of raising (raising here blocked the seeded
+    tiny-evidence pipeline, which uses 1 s files = exactly one segment).
     """
-    if t_tok_total < seg_tok + 2 * EDGE_TOKENS:
+    if t_tok_total < seg_tok:
         raise ValueError(
-            f"cache too short: t_tok_total={t_tok_total} < seg_tok={seg_tok}"
-            f" + 2*EDGE_TOKENS={2 * EDGE_TOKENS}")
+            f"cache too short: t_tok_total={t_tok_total} < seg_tok={seg_tok}")
+    if t_tok_total < seg_tok + 2 * EDGE_TOKENS:
+        return 0, t_tok_total - seg_tok + 1
     # hi is exclusive; when the cache is exactly minimal there is one valid
     # offset (EDGE_TOKENS), whose crop still ends EDGE_TOKENS from the end
     return EDGE_TOKENS, max(EDGE_TOKENS + 1,

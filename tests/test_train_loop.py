@@ -129,6 +129,24 @@ class TestLatentCacheTraining:
         np.testing.assert_allclose(np.asarray(zt), np.asarray(zt_d),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_crop_range_degenerate_whole_file(self):
+        """Whole-file (or near-whole-file) caches yield valid offset ranges
+        instead of raising: a 75-token cache serving 75-token segments has
+        exactly one exact crop (offset 0, no waveform cropping => no edge
+        effects). Shorter-than-segment caches still raise."""
+        from multimodal_vqvae_compression_audio_tactile_tpu.train import (
+            latent_cache as lc)
+        # exact whole-file: single offset 0
+        assert lc._crop_range(75, 75) == (0, 1)
+        # slightly longer than a segment but no room for the edge margin
+        assert lc._crop_range(77, 75) == (0, 3)
+        # normal case keeps the interior margin
+        lo, hi = lc._crop_range(150, 75)
+        assert lo == lc.EDGE_TOKENS and hi == 150 - 75 - lc.EDGE_TOKENS
+        # too short still raises
+        with pytest.raises(ValueError):
+            lc._crop_range(74, 75)
+
     def test_train_codec_on_cached_batches(self, corpus, tmp_path):
         from multimodal_vqvae_compression_audio_tactile_tpu.train import (
             latent_cache as lc)
