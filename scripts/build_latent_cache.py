@@ -29,6 +29,8 @@ def main() -> None:
                     help="cache only the first N pairs (0 = all; smoke runs)")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny CodecConfig (evidence_tiny artifacts)")
     args = ap.parse_args()
     _common.setup_jax(cpu=args.cpu)
 
@@ -41,7 +43,7 @@ def main() -> None:
     from multimodal_vqvae_compression_audio_tactile_tpu.train import (
         latent_cache as lc)
 
-    cfg = CodecConfig()
+    cfg = CodecConfig().tiny() if args.tiny else CodecConfig()
     tcfg = TrainConfig()
     pairs = pair_stems(args.audio_dir, args.tact_dir)
     if not pairs:
