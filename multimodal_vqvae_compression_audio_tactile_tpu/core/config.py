@@ -54,12 +54,16 @@ class DacConfig:
     # conv. Serving-path option (scripts/diag_decode.py A/B decides the
     # fast_serving default); training keeps the dilated form.
     poly_upsample: bool = False
-    # run the encoder/decoder conv stacks TIME-MAJOR ([B, T, C] — channels in
-    # lanes, ops/timeconv.py): every conv becomes channel-dim MXU matmuls,
-    # fixing the narrow-stage (C < 256) lane underutilization that capped the
-    # NCH layout at 9-18% MFU (docs/MFU.md, round-4 target). Same params,
+    # run the conv stacks TIME-MAJOR ([B, T, C] — channels in lanes,
+    # ops/timeconv.py): every conv becomes channel-dim MXU matmuls, fixing
+    # the narrow-stage (C < 256) lane underutilization that capped the NCH
+    # layout at 9-18% MFU (docs/MFU.md, round-4 target). Same params,
     # parity-tested vs the NCH path; serving-path option like poly_upsample.
-    time_major: bool = False
+    # Decoder and encoder gate SEPARATELY: the round-4 device A/B measured
+    # opposite verdicts by batch regime, so serving policies need independent
+    # control (scripts/diag_timemajor.py / diag_encode.py).
+    time_major: bool = False        # decoder stacks
+    time_major_enc: bool = False    # encoder stacks (A_ENC / T_ENC)
 
     @property
     def hop(self) -> int:

@@ -33,7 +33,8 @@ class StreamingCodec:
                  n_books_use: Optional[int] = None,
                  compute_dtype=jnp.bfloat16, fast: bool = True,
                  mesh=None, parallel_roll: Optional[bool] = None,
-                 poly_upsample: Optional[bool] = None):
+                 poly_upsample: Optional[bool] = None,
+                 time_major: Optional[bool] = None):
         # serving default: native single-pass bf16 MXU matmuls for the conv
         # stacks and attention (the VQ score matmuls that pick transmitted
         # code indices stay HIGHEST — see CodecConfig.fast_serving). The
@@ -83,10 +84,20 @@ class StreamingCodec:
         # None = auto policy; an explicit bool wins.
         if poly_upsample is None:
             poly_upsample = batch < 8 and fast
-        if poly_upsample != self.cfg.dac.poly_upsample:
+        # time-major [B, T, C] conv path (ops/timeconv.py): channel-dim MXU
+        # matmuls fix the narrow-stage lane starvation of the NCH layout
+        # (docs/MFU.md). Auto policy set by the round-4 honest device A/B
+        # (scripts/diag_timemajor.py, docs/demo_evidence_r4); an explicit
+        # bool wins. Geometry guards in models/dac.py fall back to NCH when
+        # an imported checkpoint's up-conv kernels are not 2*stride.
+        if time_major is None:
+            time_major = batch < 8 and fast
+        if (poly_upsample != self.cfg.dac.poly_upsample
+                or time_major != self.cfg.dac.time_major):
             import dataclasses as _dc
             self.cfg = cfg = _dc.replace(
-                cfg, dac=_dc.replace(cfg.dac, poly_upsample=poly_upsample))
+                cfg, dac=_dc.replace(cfg.dac, poly_upsample=poly_upsample,
+                                     time_major=time_major))
         if parallel_roll:
             from ..models import ar_parallel
             _enc_fn = ar_parallel.encode_latents_parallel
@@ -287,18 +298,23 @@ class StreamingConcealer:
                  batch: int, frame_sec: float = 1.0,
                  mask_embed: bool = False,
                  compute_dtype=jnp.bfloat16, fast: bool = True,
-                 mesh=None, poly_upsample: Optional[bool] = None):
+                 mesh=None, poly_upsample: Optional[bool] = None,
+                 time_major: Optional[bool] = None):
         self.cfg = cfg = cfg.fast_serving() if fast else cfg
-        # same small-batch polyphase-upsample auto policy as StreamingCodec;
-        # an explicit bool wins (round-3 ADVICE: constructor opt-out).
-        # Non-2r up-conv geometry is safe either way: the decoder falls back
-        # per block (models/dac.py::_decoder_apply geometry guard).
+        # same small-batch polyphase-upsample + time-major auto policies as
+        # StreamingCodec; explicit bools win (round-3 ADVICE: constructor
+        # opt-out). Non-2r up-conv geometry is safe either way: the decoder
+        # falls back per block (models/dac.py geometry guards).
         if poly_upsample is None:
             poly_upsample = batch < 8 and fast
-        if poly_upsample != cfg.dac.poly_upsample:
+        if time_major is None:
+            time_major = batch < 8 and fast
+        if (poly_upsample != cfg.dac.poly_upsample
+                or time_major != cfg.dac.time_major):
             import dataclasses as _dc
             self.cfg = cfg = _dc.replace(
-                cfg, dac=_dc.replace(cfg.dac, poly_upsample=poly_upsample))
+                cfg, dac=_dc.replace(cfg.dac, poly_upsample=poly_upsample,
+                                     time_major=time_major))
         self.mesh = mesh
         if mesh is not None:
             from ..parallel import mesh as pmesh

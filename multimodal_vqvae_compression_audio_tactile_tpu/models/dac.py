@@ -510,7 +510,7 @@ def dac_init(key: jax.Array, cfg: DacConfig) -> dict:
 @partial(jax.jit, static_argnames=("cfg",))
 def encode(params: dict, cfg: DacConfig, x: jax.Array) -> jax.Array:
     """x [B, 1, T] -> continuous latent z [B, C, T/hop] (= reference A_ENC/T_ENC)."""
-    if cfg.time_major and all(
+    if cfg.time_major_enc and all(
             b["down"]["w"].shape[-1] == 2 * r
             for b, r in zip(params["encoder"]["blocks"], cfg.encoder_rates)):
         return _encoder_apply_tm(params["encoder"], cfg, x)

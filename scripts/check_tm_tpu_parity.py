@@ -46,7 +46,8 @@ def main() -> None:
     a, tc, z = jax.device_put((a, tc, z))
 
     def dcfg(tm: bool, poly: bool):
-        return dataclasses.replace(base.dac, time_major=tm, poly_upsample=poly)
+        return dataclasses.replace(base.dac, time_major=tm,
+                                    time_major_enc=tm, poly_upsample=poly)
 
     ok = True
 

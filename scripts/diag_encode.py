@@ -78,7 +78,8 @@ def main() -> None:
         # ---- front-ends: NCH vs time-major ---------------------------------
         for tm in (False, True):
             cfg = dataclasses.replace(
-                base, dac=dataclasses.replace(base.dac, time_major=tm))
+                base, dac=dataclasses.replace(base.dac, time_major=tm,
+                                              time_major_enc=tm))
 
             def front(a, p, tcx, cfg=cfg):
                 qa, zt = allpred_ar.backbone_latents(
@@ -114,7 +115,8 @@ def main() -> None:
         # ---- full encode (scan roll), NCH vs TM front ----------------------
         for tm in (False, True):
             cfg = dataclasses.replace(
-                base, dac=dataclasses.replace(base.dac, time_major=tm))
+                base, dac=dataclasses.replace(base.dac, time_major=tm,
+                                              time_major_enc=tm))
 
             def full(a, p, tcx, cfg=cfg):
                 z, _ = allpred_ar.encode_latents(

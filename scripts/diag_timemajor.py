@@ -47,7 +47,7 @@ def main() -> None:
 
     def dac_cfg(tm: bool, poly: bool):
         return dataclasses.replace(base.dac, time_major=tm,
-                                   poly_upsample=poly)
+                                   time_major_enc=tm, poly_upsample=poly)
 
     def run_decode(b, tm, poly, n_lo, n_hi):
         cfg_d = dac_cfg(tm, poly)
