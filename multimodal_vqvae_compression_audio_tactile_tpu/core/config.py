@@ -48,6 +48,13 @@ class DacConfig:
     # variant (64-lane halo, up to 8k tiles). Off by default: enable after
     # scripts/bench_fused_resunits.py shows a win on the target chip.
     fused_resunits_b1: bool = False
+    # round-4 TM tail kernel (ops/resunit_tm_pallas.py): serve NARROW
+    # (C < 256) residual-unit stacks — the decoder tail and the encoder
+    # front — through the time-major fused kernel (transpose in, one VMEM-
+    # resident pass over all 3 units, transpose out). Inference-only; the
+    # honest device A/B (scripts/diag_timemajor.py --kernel) gates the
+    # serving default per batch regime.
+    tail_kernel: bool = False
     # decoder upsampling as polyphase depth-to-space convs instead of
     # lhs_dilation convs (models/dac.py::conv1d_transpose_poly): same math,
     # maps to one stride-1 MXU matmul per block instead of a zero-dilated

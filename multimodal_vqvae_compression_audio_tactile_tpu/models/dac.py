@@ -198,6 +198,17 @@ def _unit_stack(block_units: list, y: jax.Array, cfg: DacConfig,
     """Residual-unit stack: fused Pallas kernel on the serving fast path
     (cfg.fused_resunits, inference-only), sequential XLA ops otherwise.
     ``post_alpha`` folds a trailing block-level snake into the fused call."""
+    if cfg.tail_kernel and y.shape[1] < 256:
+        # round-4 narrow-stack path: time-major fused kernel, one HBM
+        # read+write per 3-unit stack (ops/resunit_tm_pallas.py). The
+        # boundary transposes are XLA relayouts (~2 x tensor bytes of HBM
+        # traffic), amortized by the stack's ~8 fused ops.
+        from ..ops import resunit_tm_pallas as rtm
+        yt = jnp.transpose(y, (0, 2, 1))
+        yt = rtm.resunit_stack_tm(block_units, yt,
+                                  _DILATIONS[:len(block_units)],
+                                  post_snake_alpha=post_alpha)
+        return jnp.transpose(yt, (0, 2, 1))
     if cfg.fused_resunits:
         big = y.shape[0] >= _FUSED_MIN_BATCH
         b1 = (not big) and getattr(cfg, "fused_resunits_b1", False)

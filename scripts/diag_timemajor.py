@@ -26,6 +26,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stages", action="store_true")
     ap.add_argument("--skip-full", action="store_true")
+    ap.add_argument("--kernel", action="store_true",
+                    help="time the fused TM resunit kernel on the tail "
+                         "stacks (ops/resunit_tm_pallas.py) vs both layouts")
     args = ap.parse_args()
 
     import jax
@@ -143,6 +146,57 @@ def main() -> None:
                        tc.snake_tm(p["out_snake"]["alpha"], x),
                        precision=prec),
                    (b, lens[-1], dims[-1]))
+
+    if args.kernel:
+        # fused TM kernel on the narrow tail stacks, vs the NCH XLA stack
+        # (the serving default) at the same batch — the task-1 A/B proper
+        from multimodal_vqvae_compression_audio_tactile_tpu.ops import (
+            resunit_tm_pallas as rtm)
+
+        cfg_d = dac_cfg(False, False)
+        prec = dac.matmul_precision(cfg_d.precision)
+        dp = params.tactile_dac["decoder"]
+        dims = [cfg_d.decoder_dim // (2 ** i)
+                for i in range(len(cfg_d.decoder_rates) + 1)]
+        lens = [75]
+        for r_ in cfg_d.decoder_rates:
+            lens.append(lens[-1] * r_)
+
+        for b in (32, 1):
+            for bi in (2, 3):
+                c, t = dims[bi + 1], lens[bi + 1]
+                post = (params.tactile_dac["decoder"]["out_snake"]["alpha"]
+                        if bi == len(cfg_d.decoder_rates) - 1 else None)
+
+                def k_step(x, p, xb, bi=bi, post=post):
+                    y = rtm.resunit_stack_tm(
+                        p["blocks"][bi]["units"], x.astype(cdt),
+                        dac._DILATIONS, post_snake_alpha=post,
+                        interpret=False)
+                    d = 1e-6 * jnp.tanh(jnp.mean(y.astype(jnp.float32)))
+                    return (xb + d).astype(x.dtype)
+
+                def n_step(x, p, xb, bi=bi, post=post):
+                    y = x.astype(cdt)
+                    for u, d_ in zip(p["blocks"][bi]["units"],
+                                     dac._DILATIONS):
+                        y = dac._resunit_apply(u, y, d_, precision=prec)
+                    if post is not None:
+                        y = dac.snake({"alpha": post}, y)
+                    d = 1e-6 * jnp.tanh(jnp.mean(y.astype(jnp.float32)))
+                    return (xb + d).astype(x.dtype)
+
+                x_tm = jax.device_put(0.05 * jax.random.normal(
+                    jax.random.key(9), (b, t, c), jnp.float32))
+                x_nch = jax.device_put(jnp.transpose(x_tm, (0, 2, 1)))
+                n_lo, n_hi = (3, 10) if b == 32 else (4, 16)
+                for tag, fn, x0 in ((f"kernel:units{bi}", k_step, x_tm),
+                                    (f"nch:units{bi}", n_step, x_nch)):
+                    r = L.measure_device_ms(fn, x0, n_lo=n_lo, n_hi=n_hi,
+                                            reps=2, const_args=(dp, x0))
+                    print(json.dumps({"which": tag, "batch": b,
+                                      "ms": round(r["ms_per_call"], 4)}),
+                          flush=True)
 
 
 if __name__ == "__main__":

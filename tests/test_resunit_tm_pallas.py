@@ -83,3 +83,29 @@ def test_pick_t_tile_fits_budget():
     for c in (96, 192):
         tt = rtm.pick_t_tile(c, 2)
         assert tt >= 512, (c, tt)
+
+
+def test_decoder_tail_kernel_integration_parity():
+    """Full decode + encode with cfg.tail_kernel (interpret on CPU) matches
+    the sequential NCH path — the serving integration seam (_unit_stack)."""
+    import dataclasses
+
+    from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+        DacConfig)
+
+    cfg = dataclasses.replace(DacConfig(), encoder_dim=4, decoder_dim=32,
+                              latent_dim=16, n_codebooks=2, codebook_size=16,
+                              codebook_dim=4)
+    cfg_k = dataclasses.replace(cfg, tail_kernel=True)
+    params = dac.dac_init(jax.random.key(7), cfg)
+    z = 0.3 * jax.random.normal(jax.random.key(8), (2, 16, 6), jnp.float32)
+    y_ref = dac.decode(params, cfg, z)
+    y_k = dac.decode(params, cfg_k, z)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+    x = 0.3 * jax.random.normal(jax.random.key(9), (1, 1, 2 * cfg.hop),
+                                jnp.float32)
+    z_ref = dac.encode(params, cfg, x)
+    z_k = dac.encode(params, cfg_k, x)
+    np.testing.assert_allclose(np.asarray(z_k), np.asarray(z_ref),
+                               rtol=2e-5, atol=2e-5)

@@ -86,7 +86,8 @@ def test_resunit_tm_parity(dilation):
 def test_full_dac_encode_decode_time_major_parity():
     """End-to-end: tiny-config encoder+decoder, TM vs NCH, same params."""
     cfg = DacConfig().tiny()
-    cfg_tm = __import__("dataclasses").replace(cfg, time_major=True)
+    cfg_tm = __import__("dataclasses").replace(cfg, time_major=True,
+                                               time_major_enc=True)
     params = dac.dac_init(jax.random.key(0), cfg)
     x = 0.5 * jax.random.normal(jax.random.key(1), (2, 1, 2 * cfg.hop),
                                 jnp.float32)
