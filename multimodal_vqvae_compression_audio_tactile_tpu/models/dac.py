@@ -521,7 +521,11 @@ def dac_init(key: jax.Array, cfg: DacConfig) -> dict:
 @partial(jax.jit, static_argnames=("cfg",))
 def encode(params: dict, cfg: DacConfig, x: jax.Array) -> jax.Array:
     """x [B, 1, T] -> continuous latent z [B, C, T/hop] (= reference A_ENC/T_ENC)."""
-    if cfg.time_major_enc and all(
+    # TM needs k == 2r down kernels AND hop-divisible input (down_tm's
+    # polyphase fold requires r | T at every stage; T % hop == 0 guarantees
+    # the whole chain). Non-conforming shapes fall back to NCH (trace-time
+    # static check, e.g. the bitstream tests' non-1s frames).
+    if cfg.time_major_enc and x.shape[-1] % cfg.hop == 0 and all(
             b["down"]["w"].shape[-1] == 2 * r
             for b, r in zip(params["encoder"]["blocks"], cfg.encoder_rates)):
         return _encoder_apply_tm(params["encoder"], cfg, x)
