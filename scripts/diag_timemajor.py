@@ -162,11 +162,23 @@ def main() -> None:
         for r_ in cfg_d.decoder_rates:
             lens.append(lens[-1] * r_)
 
+        # (tag, params subtree, block idx, C, T, fused trailing snake alpha)
+        enc_p = params.tactile_dac["encoder"]
+        enc_lens = [24000]
+        for r_ in cfg_d.encoder_rates:
+            enc_lens.append(enc_lens[-1] // r_)
+        geoms = [
+            ("dec:units2", dp, 2, dims[3], lens[3],
+             None),
+            ("dec:units3", dp, 3, dims[4], lens[4],
+             dp["out_snake"]["alpha"]),
+            ("enc:units0", enc_p, 0, cfg_d.encoder_dim, enc_lens[0],
+             enc_p["blocks"][0]["snake"]["alpha"]),
+            ("enc:units1", enc_p, 1, 2 * cfg_d.encoder_dim, enc_lens[1],
+             enc_p["blocks"][1]["snake"]["alpha"]),
+        ]
         for b in (32, 1):
-            for bi in (2, 3):
-                c, t = dims[bi + 1], lens[bi + 1]
-                post = (params.tactile_dac["decoder"]["out_snake"]["alpha"]
-                        if bi == len(cfg_d.decoder_rates) - 1 else None)
+            for tag, sub, bi, c, t, post in geoms:
 
                 def k_step(x, p, xb, bi=bi, post=post):
                     y = rtm.resunit_stack_tm(
@@ -190,11 +202,11 @@ def main() -> None:
                     jax.random.key(9), (b, t, c), jnp.float32))
                 x_nch = jax.device_put(jnp.transpose(x_tm, (0, 2, 1)))
                 n_lo, n_hi = (3, 10) if b == 32 else (4, 16)
-                for tag, fn, x0 in ((f"kernel:units{bi}", k_step, x_tm),
-                                    (f"nch:units{bi}", n_step, x_nch)):
+                for kind, fn, x0 in ((f"kernel:{tag}", k_step, x_tm),
+                                     (f"nch:{tag}", n_step, x_nch)):
                     r = L.measure_device_ms(fn, x0, n_lo=n_lo, n_hi=n_hi,
-                                            reps=2, const_args=(dp, x0))
-                    print(json.dumps({"which": tag, "batch": b,
+                                            reps=2, const_args=(sub, x0))
+                    print(json.dumps({"which": kind, "batch": b,
                                       "ms": round(r["ms_per_call"], 4)}),
                           flush=True)
 
