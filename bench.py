@@ -191,10 +191,16 @@ def main() -> None:
         "polyphase" if sc1.cfg.dac.poly_upsample else "dilated")
     mfu["decode_b32"]["upsample"] = (
         "polyphase" if sc32.cfg.dac.poly_upsample else "dilated")
-    mfu["decode_b1"]["time_major"] = bool(
-        getattr(sc1.cfg.dac, "time_major", False))
-    mfu["decode_b32"]["time_major"] = bool(
-        getattr(sc32.cfg.dac, "time_major", False))
+    for row, sc in (("decode_b1", sc1), ("decode_b32", sc32)):
+        mfu[row]["time_major"] = bool(getattr(sc.cfg.dac, "time_major",
+                                              False))
+        mfu[row]["tail_kernel"] = bool(getattr(sc.cfg.dac, "tail_kernel",
+                                               False))
+    for row, sc in (("encode_b1", sc1), ("encode_b32", sc32)):
+        mfu[row]["time_major_enc"] = bool(
+            getattr(sc.cfg.dac, "time_major_enc", False))
+        mfu[row]["tail_kernel"] = bool(getattr(sc.cfg.dac, "tail_kernel",
+                                               False))
 
     # plausibility gate (round-3 ADVICE): the chained-scan slope is the only
     # defense against client-side memoization on this runtime — if it ever

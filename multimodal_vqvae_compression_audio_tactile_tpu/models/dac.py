@@ -227,6 +227,26 @@ def _unit_stack(block_units: list, y: jax.Array, cfg: DacConfig,
     return y
 
 
+def _unit_stack_tm(block_units: list, y: jax.Array, cfg: DacConfig,
+                   prec, post_alpha: Optional[jax.Array] = None) -> jax.Array:
+    """Time-major residual-unit stack ([B, T, C]): fused TM kernel for the
+    narrow stacks when cfg.tail_kernel (no boundary transposes needed — the
+    surrounding TM path is already channels-last), sequential
+    ops/timeconv.py resunits otherwise."""
+    from ..ops import timeconv as tc
+
+    if cfg.tail_kernel and y.shape[2] < 256:
+        from ..ops import resunit_tm_pallas as rtm
+        return rtm.resunit_stack_tm(block_units, y,
+                                    _DILATIONS[:len(block_units)],
+                                    post_snake_alpha=post_alpha)
+    for unit, dil in zip(block_units, _DILATIONS):
+        y = tc.resunit_tm(unit, y, dil, precision=prec)
+    if post_alpha is not None:
+        y = tc.snake_tm(post_alpha, y)
+    return y
+
+
 def _encoder_apply(p: dict, cfg: DacConfig, x: jax.Array) -> jax.Array:
     prec = matmul_precision(cfg.precision)
     y = conv1d(p["in_conv"], x, padding=3, precision=prec)
@@ -257,9 +277,8 @@ def _encoder_apply_tm(p: dict, cfg: DacConfig, x: jax.Array) -> jax.Array:
     y = jnp.transpose(x, (0, 2, 1))                    # [B, T, 1]
     y = tc.conv_tm(p["in_conv"], y, precision=prec)
     for block, r in zip(p["blocks"], cfg.encoder_rates):
-        for unit, dil in zip(block["units"], _DILATIONS):
-            y = tc.resunit_tm(unit, y, dil, precision=prec)
-        y = tc.snake_tm(block["snake"]["alpha"], y)
+        y = _unit_stack_tm(block["units"], y, cfg, prec,
+                           post_alpha=block["snake"]["alpha"])
         y = tc.down_tm(block["down"], y, stride=r, precision=prec)
     y = tc.snake_tm(p["out_snake"]["alpha"], y)
     y = tc.conv_tm(p["out_conv"], y, precision=prec)   # k=3, SAME
@@ -329,10 +348,8 @@ def _decoder_apply_tm(p: dict, cfg: DacConfig, z: jax.Array) -> jax.Array:
     for bi, (block, r) in enumerate(zip(p["blocks"], cfg.decoder_rates)):
         y = tc.snake_tm(block["snake"]["alpha"], y)
         y = tc.up_tm(block["up"], y, stride=r, precision=prec)
-        for unit, dil in zip(block["units"], _DILATIONS):
-            y = tc.resunit_tm(unit, y, dil, precision=prec)
-        if bi == n_blocks - 1:
-            y = tc.snake_tm(p["out_snake"]["alpha"], y)
+        post = p["out_snake"]["alpha"] if bi == n_blocks - 1 else None
+        y = _unit_stack_tm(block["units"], y, cfg, prec, post_alpha=post)
     y = tc.conv_tm(p["out_conv"], y, precision=prec)
     y = jnp.tanh(y)
     return jnp.transpose(y, (0, 2, 1))                 # [B, 1, T]

@@ -109,3 +109,29 @@ def test_decoder_tail_kernel_integration_parity():
     z_k = dac.encode(params, cfg_k, x)
     np.testing.assert_allclose(np.asarray(z_k), np.asarray(z_ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_tm_decoder_with_tail_kernel_parity():
+    """cfg.time_major + cfg.tail_kernel: the TM decoder/encoder route their
+    narrow stacks through the kernel WITHOUT boundary transposes; output
+    must still match the NCH sequential path."""
+    import dataclasses
+
+    from multimodal_vqvae_compression_audio_tactile_tpu.core.config import (
+        DacConfig)
+
+    cfg = dataclasses.replace(DacConfig(), encoder_dim=4, decoder_dim=32,
+                              latent_dim=16, n_codebooks=2, codebook_size=16,
+                              codebook_dim=4)
+    cfg_k = dataclasses.replace(cfg, time_major=True, time_major_enc=True,
+                                tail_kernel=True)
+    params = dac.dac_init(jax.random.key(10), cfg)
+    z = 0.3 * jax.random.normal(jax.random.key(11), (2, 16, 6), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(dac.decode(params, cfg_k, z)),
+        np.asarray(dac.decode(params, cfg, z)), rtol=2e-5, atol=2e-5)
+    x = 0.3 * jax.random.normal(jax.random.key(12), (1, 1, 2 * cfg.hop),
+                                jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(dac.encode(params, cfg_k, x)),
+        np.asarray(dac.encode(params, cfg, x)), rtol=2e-5, atol=2e-5)
