@@ -23,9 +23,66 @@ apples-to-apples number. vs_baseline = baseline_ms / device_ms (>1 = faster).
 from __future__ import annotations
 
 import json
+import os
+import threading
+import time
 
 BASELINE_ENC_MS = 15.40  # reference rvqB10_K128 encoding_delay_ms
 BASELINE_DEC_MS = 2.75
+
+# Whole-run budget (round-4 VERDICT weak #1: BENCH_r04 rc=124 — the driver
+# bench timed out and the round lost its perf artifact; the old 180 s
+# watchdog guarded init-hang only, not a slow run). A daemon thread emits
+# whatever has been measured so far and hard-exits at the deadline, so a
+# contended TPU or a cold remote-compile cache degrades the artifact instead
+# of destroying it. Override with BENCH_BUDGET_S.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+_T0 = time.monotonic()
+_EMITTED = threading.Event()
+_PARTIAL: dict = {"stage": "init"}  # progressively filled by main()
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def _emit(record: dict) -> None:
+    """Print the single JSON line exactly once (main() or the watchdog)."""
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    print(json.dumps(record), flush=True)
+
+
+def _partial_record() -> dict:
+    """Best-available record from whatever main() measured before the
+    deadline. If the b1 device-time headline landed, report it as a valid
+    (degraded) artifact; otherwise value 0.0 with the partial extras."""
+    enc_ms = _PARTIAL.get("encode_device_ms")
+    got_headline = isinstance(enc_ms, float) and enc_ms > 0
+    extra = {k: v for k, v in _PARTIAL.items() if k != "encode_device_ms"}
+    extra["degraded"] = (f"whole-run budget {BUDGET_S:.0f}s hit at stage "
+                         f"'{_PARTIAL.get('stage')}'; later measurements "
+                         "skipped (see bench.py BUDGET_S)")
+    return {
+        "metric": "encode_device_ms_per_1s_signal",
+        "value": round(enc_ms, 3) if got_headline else 0.0,
+        "unit": "ms",
+        "vs_baseline": (round(BASELINE_ENC_MS / enc_ms, 3)
+                        if got_headline else 0.0),
+        "extra": extra,
+    }
+
+
+def _arm_budget_watchdog() -> None:
+    def fire():
+        dt = BUDGET_S - (time.monotonic() - _T0)
+        if dt > 0:
+            time.sleep(dt)
+        _emit(_partial_record())
+        os._exit(0)
+
+    threading.Thread(target=fire, daemon=True).start()
 
 
 def _require_device(timeout_s: float = 180.0):
@@ -53,7 +110,7 @@ def _require_device(timeout_s: float = 180.0):
     t.join(timeout_s)
     if "platform" in out:
         return
-    print(json.dumps({
+    _emit({
         "metric": "encode_device_ms_per_1s_signal",
         "value": 0.0,
         "unit": "ms",
@@ -63,11 +120,12 @@ def _require_device(timeout_s: float = 180.0):
                            "the TPU tunnel relay is likely down - see "
                            "CLAUDE.md tunnel-relay note. Healthy-state "
                            "numbers: docs/demo_evidence_r3/"},
-    }))
+    })
     os._exit(0)
 
 
 def main() -> None:
+    _arm_budget_watchdog()
     _require_device()
     import jax
 
@@ -87,6 +145,7 @@ def main() -> None:
     # serving wrappers: b1 defaults to the two-phase parallel AR roll, b32 to
     # the scan roll (auto policy, eval/serving.py; parity:
     # tests/test_ar_parallel.py). bf16 compute like the reference's AMP.
+    _PARTIAL["stage"] = "compile_b1"
     sc1 = StreamingCodec(params, cfg, batch=1)
     sc1s = StreamingCodec(params, cfg, batch=1, parallel_roll=False)
     sc32 = StreamingCodec(params, cfg, batch=32)
@@ -95,26 +154,41 @@ def main() -> None:
     z, _ = sc1.encode(a, t)
 
     # ---- client dispatch latencies (pull-free; labeled as dispatch) -------
+    _PARTIAL["stage"] = "dispatch_p50"
     enc_disp = measure_ms_stats(lambda: sc1.encode(a, t), warmup=3, repeats=30)
     dec_disp = measure_ms_stats(lambda: sc1.decode(z), warmup=3, repeats=30)
     enc_disp_scan = measure_ms_stats(lambda: sc1s.encode(a, t), warmup=3,
                                      repeats=30)
+    _PARTIAL["client_dispatch_p50_ms"] = {
+        "encode_b1": round(enc_disp["p50"], 3),
+        "decode_b1": round(dec_disp["p50"], 3)}
 
     # ---- TRUE device times (chained-scan; pulls — must run LAST) ----------
+    _PARTIAL["stage"] = "device_time_b1"
     dt1 = sc1.device_time_ms(n_lo=4, n_hi=16, reps=2)
-    dt1s = sc1s.device_time_ms(n_lo=4, n_hi=16, reps=2)
-    dt32 = sc32.device_time_ms(n_lo=3, n_hi=10, reps=2)
-
     enc_ms = dt1["encode_ms_per_batch"]
     dec_ms = dt1["decode_ms_per_batch"]
+    _PARTIAL["encode_device_ms"] = enc_ms
+    _PARTIAL["decode_device_ms"] = round(dec_ms, 3)
+    _PARTIAL["measurement"] = "chained-scan device time"
+
+    _PARTIAL["stage"] = "device_time_b1_scan_roll"
+    dt1s = sc1s.device_time_ms(n_lo=4, n_hi=16, reps=2)
+    _PARTIAL["stage"] = "device_time_b32"
+    dt32 = sc32.device_time_ms(n_lo=3, n_hi=10, reps=2)
+    _PARTIAL["encode_device_ms_b32"] = round(dt32["encode_ms_per_batch"], 3)
+    _PARTIAL["decode_device_ms_b32"] = round(dt32["decode_ms_per_batch"], 3)
 
     # ---- kernel-target tail stages (round-4: the C<128 resunit stacks) ----
     # Timed inline (BENCH_STAGES=0 skips) so the gating artifact carries the
     # per-stage evidence the kernel claims cite; full 10-stage breakdown
     # lives in scripts/diag_decode.py --stages.
-    import os as _os
+    # auto-degrade: the tail-stage breakdown costs ~2 compiles + 4 chained
+    # scans; skip it when the remaining budget can't absorb that (the
+    # headline + b32 numbers above are already banked in _PARTIAL).
+    _PARTIAL["stage"] = "tail_stages"
     stages = {}
-    if _os.environ.get("BENCH_STAGES", "1") != "0":
+    if os.environ.get("BENCH_STAGES", "1") != "0" and _remaining() > 120:
         from multimodal_vqvae_compression_audio_tactile_tpu.eval import (
             latency as L)
         from multimodal_vqvae_compression_audio_tactile_tpu.models import dac
@@ -211,15 +285,15 @@ def main() -> None:
                                ("decode_b32", dt32["decode_ms_per_batch"]))
                if ms <= 0 or (mfu[k]["mfu"] or 0) > 1.05]
     if suspect:
-        print(json.dumps({
+        _emit({
             "metric": "encode_device_ms_per_1s_signal", "value": 0.0,
             "unit": "ms", "vs_baseline": 0.0,
             "extra": {"error": "implausible device-time slope (memoization "
                                "or negative slope) on: " + ",".join(suspect),
-                      "mfu": mfu}}))
+                      "mfu": mfu}})
         return
 
-    print(json.dumps({
+    _emit({
         "metric": "encode_device_ms_per_1s_signal",
         "value": round(enc_ms, 3),
         "unit": "ms",
@@ -260,7 +334,7 @@ def main() -> None:
             "mfu": mfu,
             "backend": jax.default_backend(),
         },
-    }))
+    })
 
 
 if __name__ == "__main__":
