@@ -91,6 +91,30 @@ def buffer_delay_ms(tokens_per_sec: float) -> float:
     return 1000.0 / tokens_per_sec if tokens_per_sec > 0 else float("nan")
 
 
+def implausible_reason(r: dict, flops: float = 0.0,
+                       peak_tflops: float = 0.0) -> str | None:
+    """Reason string when a chained-scan measurement is physically
+    implausible, else None (round-4 ADVICE: the diag scripts published a
+    -1.78 ms stage time; bench.py had this gate, the diags did not).
+
+    Gates: non-positive slope (client memoization / noise swamping the
+    chain-length delta), rep-to-rep spread exceeding the slope itself
+    (noise-dominated draw), and — when the caller knows the program's FLOPs
+    — an implied throughput above 105% of chip peak."""
+    ms = r.get("ms_per_call", 0.0)
+    if ms <= 0:
+        return f"non-positive slope {ms:.4f} ms"
+    spread = r.get("slope_spread_ms") or 0.0
+    if spread > 2.0 * ms:
+        return f"spread {spread:.4f} ms > 2x slope {ms:.4f} ms"
+    if flops > 0 and peak_tflops > 0:
+        tf = flops / (ms * 1e-3) / 1e12
+        if tf > 1.05 * peak_tflops:
+            return (f"implied {tf:.1f} TF/s > 105% of {peak_tflops:.0f} "
+                    "TF/s chip peak")
+    return None
+
+
 def measure_device_ms(step_fn: Callable, init, n_lo: int = 8, n_hi: int = 40,
                       reps: int = 3, const_args: tuple = ()) -> dict:
     """True per-execution DEVICE time of ``step_fn`` via chained-scan slope.

@@ -58,10 +58,15 @@ def main() -> None:
     frame = base.dac.sample_rate  # 1 s
     t_lat = frame // base.dac.hop  # 75 tokens
 
-    def emit(which, b, extra, ms):
+    def emit(which, b, extra, ms, r=None):
         rec = {"which": which, "batch": b}
         rec.update(extra)
         rec["ms"] = round(ms, 4)
+        if r is not None:
+            # plausibility gate (round-4 ADVICE): mark garbage slopes
+            bad = L.implausible_reason(r)
+            if bad:
+                rec["implausible"] = bad
         print(json.dumps(rec), flush=True)
 
     for b in [int(x) for x in args.batches.split(",")]:
@@ -90,7 +95,7 @@ def main() -> None:
 
             r = L.measure_device_ms(front, a0, n_lo=n_lo, n_hi=n_hi, reps=2,
                                     const_args=(params, t0))
-            emit("front", b, {"tm": tm}, r["ms_per_call"])
+            emit("front", b, {"tm": tm}, r["ms_per_call"], r)
 
         # ---- AR roll alone: scan vs parallel -------------------------------
         def roll_scan(qa, h, zt):
@@ -100,7 +105,7 @@ def main() -> None:
 
         r = L.measure_device_ms(roll_scan, qa0, n_lo=n_lo, n_hi=n_hi, reps=2,
                                 const_args=(params.head, zt0))
-        emit("roll", b, {"kind": "scan"}, r["ms_per_call"])
+        emit("roll", b, {"kind": "scan"}, r["ms_per_call"], r)
 
         def roll_par(qa, h, zt):
             out = ar_parallel.ar_roll_parallel(
@@ -110,7 +115,7 @@ def main() -> None:
 
         r = L.measure_device_ms(roll_par, qa0, n_lo=n_lo, n_hi=n_hi, reps=2,
                                 const_args=(params.head, zt0))
-        emit("roll", b, {"kind": "parallel"}, r["ms_per_call"])
+        emit("roll", b, {"kind": "parallel"}, r["ms_per_call"], r)
 
         # ---- full encode (scan roll), NCH vs TM front ----------------------
         for tm in (False, True):
@@ -126,7 +131,7 @@ def main() -> None:
 
             r = L.measure_device_ms(full, a0, n_lo=n_lo, n_hi=n_hi, reps=2,
                                     const_args=(params, t0))
-            emit("full", b, {"tm": tm, "roll": "scan"}, r["ms_per_call"])
+            emit("full", b, {"tm": tm, "roll": "scan"}, r["ms_per_call"], r)
 
 
 if __name__ == "__main__":

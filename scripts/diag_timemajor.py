@@ -52,6 +52,15 @@ def main() -> None:
         return dataclasses.replace(base.dac, time_major=tm,
                                    time_major_enc=tm, poly_upsample=poly)
 
+    def emit(rec: dict, r: dict) -> None:
+        # plausibility gate (round-4 ADVICE): never publish a garbage slope
+        # (e.g. the committed stage:in_conv = -1.78 ms) as a valid row
+        bad = L.implausible_reason(r)
+        if bad:
+            rec["implausible"] = bad
+        rec["ms"] = round(r["ms_per_call"], 4)
+        print(json.dumps(rec), flush=True)
+
     def run_decode(b, tm, poly, n_lo, n_hi):
         cfg_d = dac_cfg(tm, poly)
         z0 = jax.device_put(0.05 * jax.random.normal(
@@ -64,9 +73,7 @@ def main() -> None:
 
         r = L.measure_device_ms(step, z0, n_lo=n_lo, n_hi=n_hi, reps=2,
                                 const_args=(params, z0))
-        print(json.dumps({"which": "decode", "batch": b, "tm": tm,
-                          "poly": poly, "ms": round(r["ms_per_call"], 4)}),
-              flush=True)
+        emit({"which": "decode", "batch": b, "tm": tm, "poly": poly}, r)
 
     def run_encode(b, tm, n_lo, n_hi):
         cfg_e = dataclasses.replace(base, dac=dac_cfg(tm, False))
@@ -84,8 +91,7 @@ def main() -> None:
 
         r = L.measure_device_ms(step, a0, n_lo=n_lo, n_hi=n_hi, reps=2,
                                 const_args=(params, t0))
-        print(json.dumps({"which": "encode", "batch": b, "tm": tm,
-                          "ms": round(r["ms_per_call"], 4)}), flush=True)
+        emit({"which": "encode", "batch": b, "tm": tm}, r)
 
     if not args.skip_full:
         for b, n_lo, n_hi in ((1, 4, 16), (32, 3, 10)):
@@ -118,8 +124,7 @@ def main() -> None:
 
             r = L.measure_device_ms(step, x0, n_lo=3, n_hi=10, reps=2,
                                     const_args=(dp, x0))
-            print(json.dumps({"which": f"stage:{tag}", "batch": b,
-                              "ms": round(r["ms_per_call"], 4)}), flush=True)
+            emit({"which": f"stage:{tag}", "batch": b}, r)
 
         time_stage("in_conv",
                    lambda p, x: tc.conv_tm(p["in_conv"], x, precision=prec),
@@ -206,9 +211,7 @@ def main() -> None:
                                      (f"nch:{tag}", n_step, x_nch)):
                     r = L.measure_device_ms(fn, x0, n_lo=n_lo, n_hi=n_hi,
                                             reps=2, const_args=(sub, x0))
-                    print(json.dumps({"which": kind, "batch": b,
-                                      "ms": round(r["ms_per_call"], 4)}),
-                          flush=True)
+                    emit({"which": kind, "batch": b}, r)
 
 
 if __name__ == "__main__":
