@@ -50,8 +50,11 @@ log "parity: TM serving paths on-chip"
 timeout 600 python scripts/check_tm_tpu_parity.py \
   > "$EV/check_tm_tpu_parity.log" 2>&1
 
-if [ -n "${BB_PID:-}" ]; then
-  kill -CONT "$BB_PID" 2>/dev/null
+# ADVICE r4: use BB_PIDS (the variable actually set above) — the old
+# ${BB_PID:-} test was dead code, leaving resume solely to the EXIT trap
+# (which a SIGKILL/hard timeout skips, stranding the pretrain SIGSTOPped)
+if [ -n "${BB_PIDS// /}" ]; then
+  kill -CONT $BB_PIDS 2>/dev/null
   trap - EXIT
   log "backbone resumed"
 fi
