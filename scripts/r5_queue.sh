@@ -94,7 +94,7 @@ run_stage evalU 4200 /tmp/r5_evalU.log \
   python scripts/eval_plc.py --mode uniform --run-dir "$ROOT/plc_uniform" \
     --audio-dir "$ROOT/corpus/audio" --tact-dir "$ROOT/corpus/tactile" \
     --backbone "$ROOT/backbone/best.msgpack" --max-files 150
-[ -f "$ROOT/plc_uniform/eval_summary.json" ] && \
+[ -f "$ROOT/plc_uniform/eval_summary.json" ] && mkdir -p "$EV/plc_uniform" && \
   cp "$ROOT/plc_uniform/eval_summary.json" "$EV/plc_uniform/eval_summary_n150.json" 2>/dev/null
 commit_ev "round 5: uniform PLC decoder-FT + n=150 eval" docs/demo_evidence_r5/
 
@@ -109,7 +109,7 @@ if [ "$(left)" -gt 5400 ]; then
     python scripts/eval_plc.py --mode category --run-dir "$ROOT/plc_category" \
       --audio-dir "$ROOT/corpus/audio" --tact-dir "$ROOT/corpus/tactile" \
       --backbone "$ROOT/backbone/best.msgpack" --max-files 150
-  [ -f "$ROOT/plc_category/eval_cat_summary.json" ] && \
+  [ -f "$ROOT/plc_category/eval_cat_summary.json" ] && mkdir -p "$EV/plc_category" && \
     cp "$ROOT/plc_category/eval_cat_summary.json" "$EV/plc_category/eval_cat_summary_n150.json" 2>/dev/null
   commit_ev "round 5: category PLC decoder-FT + n=150 eval" docs/demo_evidence_r5/
 fi
