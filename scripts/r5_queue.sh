@@ -71,11 +71,18 @@ commit_ev "round 5: on-chip kernel A/B + TM parity bisect + encode split evidenc
 # ---- stage D: reference-scale demo (n=1003, full 6x3 grid, PLC both modes) --
 mkdir -p "$ROOT/backbone"
 [ -f "$ROOT/backbone/best.msgpack" ] || cp "$BB" "$ROOT/backbone/best.msgpack"
-run_stage demo 12600 /tmp/r5_demo.log \
-  python scripts/demo_end_to_end.py --root "$ROOT" --pairs 1003 --dur-sec 2 \
-    --codec-epochs 60 --plc-epochs 60 --plc-latent-epochs 15 --plc-layers 2 \
-    --batch 8 --cached-heads --plc-category \
-    --books-grid 1,2,3,4,6,8 --embed-grid 128,256,512 --plc-eval-files 40
+# the sweep skips finished heads and resumes partial ones, so a timeout is
+# recoverable: retry once while time remains (latent cache rebuilds on-device
+# in minutes)
+for attempt in 1 2; do
+  run_stage demo 12600 /tmp/r5_demo_a$attempt.log \
+    python scripts/demo_end_to_end.py --root "$ROOT" --pairs 1003 --dur-sec 2 \
+      --codec-epochs 60 --plc-epochs 60 --plc-latent-epochs 15 --plc-layers 2 \
+      --batch 8 --cached-heads --plc-category \
+      --books-grid 1,2,3,4,6,8 --embed-grid 128,256,512 --plc-eval-files 40
+  [ -e "$STATE/demo.done" ] && break
+  [ "$(left)" -le 2400 ] && break
+done
 for f in sweep/eval_vs_backbone/eval_all_vs_backbone_rawPSNR_latency.json \
          sweep/sweep_summary.csv plc_uniform/eval_summary.json \
          plc_category/eval_cat_summary.json; do
