@@ -101,13 +101,19 @@ class StreamingCodec:
         # weak #3); an explicit bool wins.
         if tail_kernel is None:
             tail_kernel = False
-        # time-major ENCODER: measured b1 win (1.65 -> 1.01 ms, round 4)
-        # but gated on the on-chip parity bisect
-        # (scripts/diag_tm_parity_bisect.py): bf16 near-tie code flips
-        # change the wire format, so the flip ships only with documented
-        # harmlessness evidence (docs/PARITY.md). Auto policy OFF.
+        # time-major ENCODER: measured b1 win 1.65 -> 1.01 ms (round 4,
+        # docs/demo_evidence_r4/diag_timemajor_device.jsonl); b32 LOSS
+        # (58.8 vs 40.8), so same batch<8 crossover as the other TM paths.
+        # The round-4 parity FAIL (code_agreement 0.980) was root-caused by
+        # the round-5 on-chip bisect as BENIGN bf16 near-tie flips, not a
+        # bug: continuous-latent rel err 0.2% with no per-stage jump,
+        # agreement decaying with book depth (1.0 -> 0.973), and IDENTICAL
+        # wire fidelity (relMSE 2.3770 NCH vs 2.3766 TM) — evidence
+        # docs/demo_evidence_r5/diag_tm_parity_bisect.jsonl, verdict in
+        # docs/PARITY.md. Callers needing a bit-reproducible wire across
+        # layouts should pass time_major_enc=False explicitly.
         if time_major_enc is None:
-            time_major_enc = False
+            time_major_enc = batch < 8 and fast
         if (poly_upsample != self.cfg.dac.poly_upsample
                 or time_major != self.cfg.dac.time_major
                 or tail_kernel != self.cfg.dac.tail_kernel
