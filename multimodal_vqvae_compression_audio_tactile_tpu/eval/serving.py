@@ -101,19 +101,17 @@ class StreamingCodec:
         # weak #3); an explicit bool wins.
         if tail_kernel is None:
             tail_kernel = False
-        # time-major ENCODER: measured b1 win 1.65 -> 1.01 ms (round 4,
-        # docs/demo_evidence_r4/diag_timemajor_device.jsonl); b32 LOSS
-        # (58.8 vs 40.8), so same batch<8 crossover as the other TM paths.
-        # The round-4 parity FAIL (code_agreement 0.980) was root-caused by
-        # the round-5 on-chip bisect as BENIGN bf16 near-tie flips, not a
-        # bug: continuous-latent rel err 0.2% with no per-stage jump,
-        # agreement decaying with book depth (1.0 -> 0.973), and IDENTICAL
-        # wire fidelity (relMSE 2.3770 NCH vs 2.3766 TM) — evidence
-        # docs/demo_evidence_r5/diag_tm_parity_bisect.jsonl, verdict in
-        # docs/PARITY.md. Callers needing a bit-reproducible wire across
-        # layouts should pass time_major_enc=False explicitly.
+        # time-major ENCODER: auto-policy OFF by measurement. The round-4
+        # window's b1 win (1.65 -> 1.01 ms) did NOT reproduce on a clean
+        # chip — that window overlapped the driver bench (contended), and
+        # the round-5 clean full-program A/B measured TM encode b1 LOSING
+        # 2.10 vs 1.54 ms (docs/demo_evidence_r5/
+        # diag_timemajor_full_clean.jsonl). Parity itself is proven benign
+        # (docs/PARITY.md: bf16 near-tie flips, identical wire fidelity),
+        # so flipping this on is SAFE — it just isn't faster here. An
+        # explicit bool wins for callers who re-measure on their hardware.
         if time_major_enc is None:
-            time_major_enc = batch < 8 and fast
+            time_major_enc = False
         if (poly_upsample != self.cfg.dac.poly_upsample
                 or time_major != self.cfg.dac.time_major
                 or tail_kernel != self.cfg.dac.tail_kernel
