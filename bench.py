@@ -142,12 +142,14 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    # serving wrappers: b1 defaults to the two-phase parallel AR roll, b32 to
-    # the scan roll (auto policy, eval/serving.py; parity:
-    # tests/test_ar_parallel.py). bf16 compute like the reference's AMP.
+    # serving wrappers: the scan AR roll is the default at every batch
+    # (round-5 clean A/B: scan b1 1.481 vs parallel 1.907 ms device time —
+    # see eval/serving.py policy comment); the second b1 wrapper keeps the
+    # parallel roll opt-in measured for the A/B extra. bf16 compute like
+    # the reference's AMP.
     _PARTIAL["stage"] = "compile_b1"
     sc1 = StreamingCodec(params, cfg, batch=1)
-    sc1s = StreamingCodec(params, cfg, batch=1, parallel_roll=False)
+    sc1p = StreamingCodec(params, cfg, batch=1, parallel_roll=True)
     sc32 = StreamingCodec(params, cfg, batch=32)
     a = jnp.zeros((1, 1, sc1.frame), jnp.float32)
     t = jnp.zeros((1, 1, sc1.frame), jnp.float32)
@@ -157,8 +159,8 @@ def main() -> None:
     _PARTIAL["stage"] = "dispatch_p50"
     enc_disp = measure_ms_stats(lambda: sc1.encode(a, t), warmup=3, repeats=30)
     dec_disp = measure_ms_stats(lambda: sc1.decode(z), warmup=3, repeats=30)
-    enc_disp_scan = measure_ms_stats(lambda: sc1s.encode(a, t), warmup=3,
-                                     repeats=30)
+    enc_disp_par = measure_ms_stats(lambda: sc1p.encode(a, t), warmup=3,
+                                    repeats=30)
     _PARTIAL["client_dispatch_p50_ms"] = {
         "encode_b1": round(enc_disp["p50"], 3),
         "decode_b1": round(dec_disp["p50"], 3)}
@@ -172,8 +174,8 @@ def main() -> None:
     _PARTIAL["decode_device_ms"] = round(dec_ms, 3)
     _PARTIAL["measurement"] = "chained-scan device time"
 
-    _PARTIAL["stage"] = "device_time_b1_scan_roll"
-    dt1s = sc1s.device_time_ms(n_lo=4, n_hi=16, reps=2)
+    _PARTIAL["stage"] = "device_time_b1_parallel_roll"
+    dt1p = sc1p.device_time_ms(n_lo=4, n_hi=16, reps=2)
     _PARTIAL["stage"] = "device_time_b32"
     dt32 = sc32.device_time_ms(n_lo=3, n_hi=10, reps=2)
     _PARTIAL["encode_device_ms_b32"] = round(dt32["encode_ms_per_batch"], 3)
@@ -311,16 +313,17 @@ def main() -> None:
             "encode_device_ms_b32": round(dt32["encode_ms_per_batch"], 3),
             "decode_device_ms_b32": round(dt32["decode_ms_per_batch"], 3),
             "ar_roll_ab_b1_device": {
-                "parallel_encode_ms": round(dt1["encode_ms_per_batch"], 3),
-                "scan_encode_ms": round(dt1s["encode_ms_per_batch"], 3),
-                "speedup": round(dt1s["encode_ms_per_batch"]
-                                 / max(dt1["encode_ms_per_batch"], 1e-9), 3),
+                "scan_encode_ms": round(dt1["encode_ms_per_batch"], 3),
+                "parallel_encode_ms": round(dt1p["encode_ms_per_batch"], 3),
+                "scan_over_parallel_speedup": round(
+                    dt1p["encode_ms_per_batch"]
+                    / max(dt1["encode_ms_per_batch"], 1e-9), 3),
             },
             "client_dispatch_p50_ms": {
                 "encode_b1": round(enc_disp["p50"], 3),
                 "encode_b1_p95": round(enc_disp["p95"], 3),
                 "decode_b1": round(dec_disp["p50"], 3),
-                "encode_b1_scan_roll": round(enc_disp_scan["p50"], 3),
+                "encode_b1_parallel_roll": round(enc_disp_par["p50"], 3),
             },
             # rep-to-rep slope spread so README claims can cite mean±spread
             # instead of a single draw (round-3 VERDICT weak #5)

@@ -72,12 +72,18 @@ class StreamingCodec:
         # two-phase parallel AR roll (models/ar_parallel.py): the carry chain
         # is removable, so the roll runs as 2 batched passes instead of a
         # sequential scan — same codes (parity: tests/test_ar_parallel.py).
-        # Default is auto: TPU A/B (docs/demo_evidence_r3/bench_tpu_r3.json)
-        # measured 1.69x at batch 1 (dispatch-depth-bound regime) and 0.98x
-        # at batch 32 (MXU-bound regime), so small batches take the parallel
-        # roll and large batches keep the scan.
+        # Auto-policy history: round 3 enabled it at batch<8 (1.69x claim,
+        # docs/demo_evidence_r3/bench_tpu_r3.json); the round-5 clean-chip
+        # A/Bs reversed that — scan encode b1 1.481 vs parallel 1.907 ms
+        # (bench warm-up ar_roll_ab_b1_device, and the encode-split rows in
+        # docs/demo_evidence_r5/diag_encode_device_clean.jsonl). Mechanism:
+        # both rolls run inside ONE jitted program, so the parallel form's
+        # dispatch-depth advantage doesn't exist on the device-time path and
+        # its second pass costs real FLOPs. Default is now the scan
+        # everywhere; the parallel roll stays available by explicit opt-in
+        # (client-DISPATCH p50 still slightly favors it: 0.297 vs 0.332 ms).
         if parallel_roll is None:
-            parallel_roll = batch < 8
+            parallel_roll = False
         # small-batch decode: polyphase depth-to-space upsampling
         # (dac.conv1d_transpose_poly) — honest device-time A/B
         # (scripts/diag_decode.py): b1 decode 2.59 vs 3.39 ms (dilated),

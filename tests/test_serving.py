@@ -152,20 +152,22 @@ class TestStreamingConcealer:
 
 class TestDeviceTime:
     def test_auto_parallel_roll_policy(self, setup):
-        """batch<8 defaults to the parallel AR roll, batch>=8 to the scan
-        (TPU A/B: docs/demo_evidence_r3/bench_tpu_r3.json)."""
+        """Scan roll is the default at every batch (round-5 clean A/B:
+        scan encode b1 1.481 vs parallel 1.907 ms device time — the
+        parallel form's dispatch-depth advantage doesn't exist inside one
+        jitted program); the parallel roll is explicit opt-in."""
         from multimodal_vqvae_compression_audio_tactile_tpu.eval.serving import (
             StreamingCodec)
         params, _, _ = setup
         sc_small = StreamingCodec(params, CFG, batch=2,
                                   frame_sec=3200 / 24000)
         sc_big = StreamingCodec(params, CFG, batch=8, frame_sec=3200 / 24000)
-        assert sc_small.parallel_roll is True
+        assert sc_small.parallel_roll is False
         assert sc_big.parallel_roll is False
         sc_forced = StreamingCodec(params, CFG, batch=2,
                                    frame_sec=3200 / 24000,
-                                   parallel_roll=False)
-        assert sc_forced.parallel_roll is False
+                                   parallel_roll=True)
+        assert sc_forced.parallel_roll is True
 
     def test_device_time_ms_chained_scan(self, setup):
         """Chained-scan device timing returns finite per-call ms and
