@@ -43,6 +43,16 @@ precision.
 
 Training keeps the scan (`ar_roll`): dropout, the STE and the EMA statistics
 are specified there; this module is the inference/serving path.
+
+MEASURED STATUS (round 5): the restructure is correct and bit-parity holds,
+but on the v5e the roll is only ~1–2% of encode device time
+(docs/demo_evidence_r5/diag_encode_device_clean.jsonl), and clean-chip b1
+A/Bs measure the two forms within noise of each other (bench
+`ar_roll_ab_b1_device`: 1.512 vs 1.510 ms; an earlier draw favored the
+scan 1.481 vs 1.907). Serving therefore defaults to the scan everywhere
+(eval/serving.py) and this path is explicit opt-in — kept because the
+dataflow analysis documents WHY the carry chain is removable, which any
+future AR-structure change should preserve.
 """
 
 from __future__ import annotations
