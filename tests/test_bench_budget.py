@@ -81,6 +81,15 @@ class TestTailKernelGuards:
         assert rtm.pick_t_tile(192, 2) == 512   # round-4 OOM geometry
         assert rtm.pick_t_tile(96, 2) == 2048
 
+    def test_smoke_compile_returns_working_tile(self):
+        import jax.numpy as jnp
+        from multimodal_vqvae_compression_audio_tactile_tpu.ops import (
+            resunit_tm_pallas as rtm)
+        # interpret mode on CPU: the gate should accept the requested tile
+        # (compile+run succeeds) and return it unchanged
+        assert rtm.smoke_compile(8, jnp.float32, t_tile=128,
+                                 n_units=1, dilations=(1,)) == 128
+
     def test_single_tap_shift_guard(self):
         import jax.numpy as jnp
         import pytest
